@@ -1,0 +1,291 @@
+"""Synthetic payload codecs for the extraction engine.
+
+The container has no PDF/image libraries (no poppler, PIL, cv2), so the
+pipeline's payloads are deterministic synthetic stand-ins with the same
+*shape* as the reference's inputs:
+
+- ``SPDF``  — a multi-page "PDF" container (magic ``%SPDF``) holding one
+  UTF-8 text record per page.  The rasterizer decodes it page-by-page
+  into RGB rasters, mirroring ``pdf2image.convert_from_path``
+  (reference: ``epub_processor.py:41-51``, ``ocr_service.py:106``).
+- ``SIMG``  — a raw in-flight raster (magic ``SIMG``): channels, width,
+  height, row-major pixel bytes.  Plays the role of the PIL image object
+  carried inside reference rows (``dtos.py:5-13``).
+- ``PNG``   — real 8-bit grayscale / RGB PNG, encoded and decoded with
+  numpy + stdlib zlib.  This is the wire format handed to the
+  recognizer, mirroring ``ocr_service.py:83-86`` (PNG re-encode before
+  the Vision call).
+- ``BMP``   — real 8-bit grayscale BMP (palette), one of the formats the
+  reference keeps as-is (``ocr_service.py:177-179``).
+- ``GIF``   — a GIF-magic stub the recognizer rejects, so the
+  format-normalization rule (keep {PNG,JPEG,BMP,TIFF} else re-encode to
+  PNG, ``ocr_service.py:177``) is pinned by tests.
+
+Everything here is pure numpy + stdlib and fully deterministic; the
+pure-Python oracle (``oracle.py``) and the Spark pipeline share these
+codecs so byte-identity tests exercise the *pipeline*, not the codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+SPDF_MAGIC = b"%SPDF"
+SIMG_MAGIC = b"SIMG"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+GIF_MAGIC = b"GIF87a"
+
+PAGE_WIDTH = 64  # raster width of synthetic pages
+
+# ---------------------------------------------------------------------------
+# SPDF multi-page container
+# ---------------------------------------------------------------------------
+
+
+def encode_spdf(page_texts: list[str]) -> bytes:
+    """Pack page texts into a ``%SPDF`` container."""
+    out = [SPDF_MAGIC, struct.pack("<I", len(page_texts))]
+    for text in page_texts:
+        data = text.encode("utf-8")
+        out.append(struct.pack("<I", len(data)))
+        out.append(data)
+    return b"".join(out)
+
+
+def decode_spdf(payload: bytes) -> list[str]:
+    """Unpack a ``%SPDF`` container into its page texts."""
+    if payload[: len(SPDF_MAGIC)] != SPDF_MAGIC:
+        raise ValueError("not an SPDF payload")
+    (n_pages,) = struct.unpack_from("<I", payload, len(SPDF_MAGIC))
+    off = len(SPDF_MAGIC) + 4
+    texts = []
+    for _ in range(n_pages):
+        (n,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        texts.append(payload[off : off + n].decode("utf-8"))
+        off += n
+    return texts
+
+
+def is_spdf(payload: bytes | None) -> bool:
+    return payload is not None and payload[: len(SPDF_MAGIC)] == SPDF_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Page rasterization (the pdf2image stand-in)
+# ---------------------------------------------------------------------------
+
+
+def render_page_rgb(text: str) -> np.ndarray:
+    """Render one page's text into an RGB raster (H, W, 3).
+
+    The text bytes ride in the leading pixels as *gray* values
+    (R=G=B=byte), prefixed by a little-endian u32 length; the remainder
+    of the raster is a deterministic *colored* pattern.  Gray pixels
+    survive RGB→gray conversion exactly (see :func:`rgb_to_gray`), while
+    the colored filler genuinely changes — so a recognizer that demands
+    grayscale input pins the preprocessing chain's presence and order
+    (reference chain: ``ocr_service.py:83-86``).
+    """
+    data = text.encode("utf-8")
+    header = struct.pack("<I", len(data))
+    payload = np.frombuffer(header + data, dtype=np.uint8)
+    total = payload.size
+    h = max(8, -(-total // PAGE_WIDTH))
+    n_px = h * PAGE_WIDTH
+    idx = np.arange(n_px, dtype=np.uint32)
+    rgb = np.empty((n_px, 3), dtype=np.uint8)
+    rgb[:, 0] = (idx * 7 + 31) % 256
+    rgb[:, 1] = (idx * 13 + 59) % 256
+    rgb[:, 2] = (idx * 3 + 97) % 256
+    rgb[:total, 0] = payload
+    rgb[:total, 1] = payload
+    rgb[:total, 2] = payload
+    return rgb.reshape(h, PAGE_WIDTH, 3)
+
+
+def read_text_from_gray(gray: np.ndarray) -> str:
+    """Inverse of :func:`render_page_rgb` after grayscale conversion."""
+    flat = gray.reshape(-1)
+    (n,) = struct.unpack("<I", flat[:4].tobytes())
+    if n > flat.size - 4:
+        raise ValueError("corrupt page raster: length exceeds raster size")
+    return flat[4 : 4 + n].tobytes().decode("utf-8")
+
+
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma with OpenCV's fixed-point arithmetic.
+
+    Matches ``cv2.cvtColor(x, cv2.COLOR_RGB2GRAY)`` bit-for-bit
+    (reference preprocessing: ``ocr_service.py:61-63``):
+    ``Y = (R*4899 + G*9617 + B*1868 + 8192) >> 14``.  For gray pixels
+    (R=G=B=v) this yields exactly ``v``.
+    """
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# SIMG raw raster container (in-flight between stages)
+# ---------------------------------------------------------------------------
+
+
+def encode_simg(arr: np.ndarray) -> bytes:
+    """Pack an (H, W) gray or (H, W, 3) RGB uint8 array."""
+    if arr.ndim == 2:
+        ch, (h, w) = 1, arr.shape
+    else:
+        h, w, ch = arr.shape
+    return SIMG_MAGIC + struct.pack("<BHH", ch, w, h) + arr.tobytes()
+
+
+def decode_simg(payload: bytes) -> np.ndarray:
+    if payload[:4] != SIMG_MAGIC:
+        raise ValueError("not a SIMG payload")
+    ch, w, h = struct.unpack_from("<BHH", payload, 4)
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=9)
+    return arr.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+# ---------------------------------------------------------------------------
+# PNG (real format; numpy + zlib)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (H, W) gray or (H, W, 3) RGB uint8 as a real PNG.
+
+    Filter type 0 on every scanline; zlib level fixed for determinism.
+    """
+    if arr.ndim == 2:
+        color_type, h, w = 0, arr.shape[0], arr.shape[1]
+        rows = arr.reshape(h, w)
+    else:
+        color_type, (h, w, _) = 2, arr.shape
+        rows = arr.reshape(h, w * 3)
+    raw = np.concatenate([np.zeros((h, 1), dtype=np.uint8), rows], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PNG produced by :func:`encode_png`.
+
+    Returns ``(color_type, array)`` — array is (H, W) for gray,
+    (H, W, 3) for RGB.  Only filter type 0 is supported (all we emit).
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    off = 8
+    width = height = color_type = None
+    idat = []
+    while off < len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            width, height, bitdepth, color_type = struct.unpack_from(">IIBB", data)
+            if bitdepth != 8 or color_type not in (0, 2):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    n_ch = 1 if color_type == 0 else 3
+    stride = 1 + width * n_ch
+    rows = raw.reshape(height, stride)
+    if np.any(rows[:, 0] != 0):
+        raise ValueError("unsupported PNG filter type")
+    pixels = rows[:, 1:]
+    if color_type == 0:
+        return 0, pixels.copy()
+    return 2, pixels.reshape(height, width, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# BMP (real format; 8-bit gray with palette)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_gray(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    row_size = (w + 3) & ~3
+    padded = np.zeros((h, row_size), dtype=np.uint8)
+    padded[:, :w] = arr
+    pixel_data = padded[::-1].tobytes()  # bottom-up
+    palette = bytes(bytearray(v for i in range(256) for v in (i, i, i, 0)))
+    data_offset = 14 + 40 + len(palette)
+    file_size = data_offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", BMP_MAGIC, file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixel_data), 2835, 2835, 256, 0)
+    return header + info + palette + pixel_data
+
+
+def decode_bmp_gray(payload: bytes) -> np.ndarray:
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 8:
+        raise ValueError("unsupported BMP bit depth")
+    row_size = (w + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=data_offset, count=row_size * h)
+    return raw.reshape(h, row_size)[::-1, :w].copy()
+
+
+# ---------------------------------------------------------------------------
+# GIF stub (magic only; recognizer rejects it → must be normalized to PNG)
+# ---------------------------------------------------------------------------
+
+
+def encode_gif_gray(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    return GIF_MAGIC + struct.pack("<HH", w, h) + arr.tobytes()
+
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    if payload[:6] != GIF_MAGIC:
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return np.frombuffer(payload, dtype=np.uint8, offset=10).reshape(h, w).copy()
+
+
+def sniff_format(payload: bytes | None) -> str:
+    """Detect a payload's container format by magic bytes."""
+    if payload is None:
+        return "none"
+    if payload[:5] == SPDF_MAGIC:
+        return "SPDF"
+    if payload[:8] == PNG_MAGIC:
+        return "PNG"
+    if payload[:2] == BMP_MAGIC:
+        return "BMP"
+    if payload[:6] == GIF_MAGIC:
+        return "GIF"
+    if payload[:4] == SIMG_MAGIC:
+        return "SIMG"
+    if payload[:5].lower() in (b"<!doc", b"<html") or payload[:1] == b"<":
+        return "HTML"
+    return "UNKNOWN"

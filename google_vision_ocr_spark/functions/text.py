@@ -1,0 +1,132 @@
+"""Text-analysis primitives for a training-data pipeline.
+
+Beyond the reference's scope (it only extracts text); these are the
+operations a 100 TB web-text curation pipeline layers on top of
+extraction: language ID, quality scoring, token counting, document
+fingerprinting.  Pure, deterministic functions — vectorized over numpy
+/ pandas batches where it matters; the Spark wrappers live in
+``operators/`` and expose them as pandas UDFs or column expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# --- language ID (character n-gram heuristic) ------------------------------
+
+# Tiny signature profiles: most characteristic trigrams / characters per
+# language.  Deterministic heuristic, not a trained model.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", " an", "and", "ing", " of", "ion", " to"),
+    "de": ("der", "die", "und", "ein", "sch", " de", "ich", "cht"),
+    "es": (" de", "os ", " la", "ión", "ent", " el", "que", "ado"),
+    "fr": (" de", "es ", " le", "ent", "que", " la", "ion", "ait"),
+}
+_CJK = re.compile(r"[一-鿿]")
+_KANA = re.compile(r"[぀-ヿ]")
+
+
+def lang_id(text: str) -> str:
+    """Guess a language code from character n-gram evidence."""
+    if not text:
+        return "und"
+    sample = text[:4000].lower()
+    if _KANA.search(sample):
+        return "jp"
+    if _CJK.search(sample):
+        return "zh"
+    best_lang, best_score = "und", 0
+    for lang, grams in _LANG_PROFILES.items():
+        score = sum(sample.count(g) for g in grams)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang if best_score > 0 else "und"
+
+
+def lang_id_series(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(lang_id)
+
+
+# --- quality scoring --------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be on for with as at by it "
+    "this that from not have has had but they you he she we i".split()
+)
+_PUNCT = frozenset(".,!?;:'\"()[]{}-")
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def quality_features(text: str) -> tuple[int, int, float, float, float]:
+    """(n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio)."""
+    n_chars = len(text)
+    tokens = _TOKEN_RE.findall(text)
+    n_tokens = len(tokens)
+    mean_len = (sum(len(t) for t in tokens) / n_tokens) if n_tokens else 0.0
+    punct = sum(1 for c in text if c in _PUNCT)
+    punct_ratio = punct / n_chars if n_chars else 0.0
+    stop = sum(1 for t in tokens if t.lower().strip("".join(_PUNCT)) in _STOPWORDS)
+    stop_ratio = stop / n_tokens if n_tokens else 0.0
+    return n_chars, n_tokens, mean_len, punct_ratio, stop_ratio
+
+
+def quality_score(text: str) -> float:
+    """Scalar quality in [0, 1]: length + punctuation + stopword evidence."""
+    n_chars, n_tokens, mean_len, punct_ratio, stop_ratio = quality_features(text)
+    if n_tokens == 0:
+        return 0.0
+    length_term = min(n_chars / 500.0, 1.0)
+    shape_term = 1.0 if 2.0 <= mean_len <= 12.0 else 0.5
+    punct_term = 1.0 if punct_ratio <= 0.2 else 0.5
+    stop_term = min(stop_ratio / 0.2, 1.0)
+    return round(0.4 * length_term + 0.2 * shape_term + 0.2 * punct_term + 0.2 * stop_term, 6)
+
+
+# --- token counting ---------------------------------------------------------
+
+# BPE-ish word/number/punctuation split, GPT-2-style but simplified and
+# fully deterministic.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+
+
+def count_tokens_ws(text: str) -> int:
+    """Whitespace token count."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def count_tokens_bpe(text: str) -> int:
+    """BPE-ish subword-regex token count."""
+    return len(_BPE_RE.findall(text))
+
+
+# --- document fingerprinting ------------------------------------------------
+
+_FP_BASE = np.uint64(1000003)
+_FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Polynomial rolling hash of the whole document (64-bit)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    h = np.uint64(1469598103934665603)  # FNV offset basis
+    base = _FP_BASE
+    for chunk_start in range(0, data.size, 4096):
+        chunk = data[chunk_start : chunk_start + 4096]
+        for b in chunk:
+            h = (h * base + b) & _FP_MOD_MASK
+    return int(h)
+
+
+def rolling_fingerprint_series(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(rolling_fingerprint).astype("uint64")
+
+
+def shingles(text: str, k: int = 3) -> set[str]:
+    """Word k-shingles (lowercased) for Jaccard/MinHash dedup."""
+    words = [w.lower() for w in _TOKEN_RE.findall(text)]
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}

@@ -1,0 +1,70 @@
+"""Codec round-trips and the grayscale-luma contract (M0)."""
+
+import numpy as np
+import pytest
+
+from google_vision_ocr_spark import formats
+
+
+def test_spdf_roundtrip():
+    texts = ["page one", "página dos\nwith newline", "第三页 テキスト", ""]
+    assert formats.decode_spdf(formats.encode_spdf(texts)) == texts
+
+
+def test_render_read_roundtrip():
+    text = "hello wörld 한국어 текст"
+    rgb = formats.render_page_rgb(text)
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    gray = formats.rgb_to_gray(rgb)
+    assert formats.read_text_from_gray(gray) == text
+
+
+def test_gray_preserves_gray_pixels_exactly():
+    # cv2 fixed-point luma must be identity on R=G=B pixels
+    v = np.arange(256, dtype=np.uint8)
+    rgb = np.stack([v, v, v], axis=-1).reshape(16, 16, 3)
+    assert np.array_equal(formats.rgb_to_gray(rgb), rgb[..., 0])
+
+
+def test_gray_changes_colored_pixels():
+    rgb = formats.render_page_rgb("x")
+    gray = formats.rgb_to_gray(rgb)
+    # filler region is colored; R channel alone differs from luma somewhere
+    assert not np.array_equal(gray, rgb[..., 0])
+
+
+def test_png_roundtrip_gray_and_rgb():
+    gray = formats.rgb_to_gray(formats.render_page_rgb("png test"))
+    ct, decoded = formats.decode_png(formats.encode_png(gray))
+    assert ct == 0 and np.array_equal(decoded, gray)
+    rgb = formats.render_page_rgb("rgb test")
+    ct, decoded = formats.decode_png(formats.encode_png(rgb))
+    assert ct == 2 and np.array_equal(decoded, rgb)
+
+
+def test_bmp_gif_roundtrip():
+    gray = formats.rgb_to_gray(formats.render_page_rgb("bmp/gif"))
+    assert np.array_equal(formats.decode_bmp_gray(formats.encode_bmp_gray(gray)), gray)
+    assert np.array_equal(formats.decode_gif_gray(formats.encode_gif_gray(gray)), gray)
+
+
+def test_simg_roundtrip():
+    rgb = formats.render_page_rgb("simg")
+    assert np.array_equal(formats.decode_simg(formats.encode_simg(rgb)), rgb)
+    gray = formats.rgb_to_gray(rgb)
+    assert np.array_equal(formats.decode_simg(formats.encode_simg(gray)), gray)
+
+
+def test_sniff_format():
+    gray = formats.rgb_to_gray(formats.render_page_rgb("s"))
+    assert formats.sniff_format(formats.encode_spdf(["a"])) == "SPDF"
+    assert formats.sniff_format(formats.encode_png(gray)) == "PNG"
+    assert formats.sniff_format(formats.encode_bmp_gray(gray)) == "BMP"
+    assert formats.sniff_format(formats.encode_gif_gray(gray)) == "GIF"
+    assert formats.sniff_format(b"<!DOCTYPE html><p>x</p>") == "HTML"
+    assert formats.sniff_format(None) == "none"
+
+
+def test_decode_spdf_rejects_garbage():
+    with pytest.raises(ValueError):
+        formats.decode_spdf(b"not a pdf")
