@@ -91,7 +91,9 @@ def generate_pages(
         url = f"https://example.org/doc/{i:06d}"
         ts = EPOCH + datetime.timedelta(minutes=i)
         roll = rng.random()
-        if roll < pdf_frac:
+        if i == n_urls // 2:
+            kind = "pdf"  # the designated skewed multi-hundred-page doc
+        elif roll < pdf_frac:
             kind = "pdf"
         elif roll < pdf_frac + html_frac:
             kind = "html"

@@ -67,8 +67,15 @@ def _recognize_one(recognizer, payload: bytes, item_id) -> tuple[str, bool]:
 
 def extract_pdf_text(url: str, payload: bytes, recognizer=None) -> ExtractResult:
     recognizer = recognizer or StubRecognizer()
-    page_texts = formats.decode_spdf(payload)
+    try:
+        page_texts = formats.decode_spdf(payload)
+    except Exception:
+        # fault isolation mirror of the rasterizer (operators/rasterize.py)
+        page_texts = None
     results: list[tuple[int, str, bool]] = []
+    if page_texts is None:
+        results.append((1, "OCR Error for ID 1: corrupt document payload", True))
+        page_texts = []
     for page_number, page_text in enumerate(page_texts, start=1):
         rgb = formats.render_page_rgb(page_text)        # rasterize (S1)
         gray = formats.rgb_to_gray(rgb)                 # grayscale (T1)
