@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed with the ``noop`` sink so the full plan runs
+(including codegen'd projections that a bare ``count()`` would prune)
+without materializing results on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "extract_documents_flagship",
+    "a1_group_concat_framed",
+    "j1_equi_join",
+    "w1_gaps_islands",
+    "o2_topk_per_lang",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_cosine",
+    "events_hourly",
+    "text_token_counts",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from google_vision_ocr_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        run_query(df)  # warm: JIT/codegen + file listing
+        t0 = time.perf_counter()
+        run_query(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query wall time (local[{}])".format(cpus),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

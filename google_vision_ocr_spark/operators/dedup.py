@@ -1,0 +1,245 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Not present in the reference (it processes one document at a time);
+these are the standard web-corpus dedup family, built Spark-first:
+
+- :func:`exact_dedup` — hash-groupBy on document content.  One shuffle
+  on the 16-byte digest (never the full text); partial aggregation
+  combines map-side.
+- :func:`minhash_lsh_pairs` — shingle → MinHash signature (vectorized
+  numpy per Arrow batch) → banded LSH → bucket self-join.  The join key
+  is ``(band, band_hash)`` so only same-bucket candidates shuffle;
+  at 100 TB this is the only join that matters and it is quadratic only
+  within buckets.
+- :func:`simhash_64` / :func:`simhash_candidates` — 64-bit SimHash with
+  banded hamming blocking (4×16-bit bands: any pair within hamming
+  distance 3 shares at least one exact band).
+- :func:`ngram_jaccard_pairs` — exact Jaccard over word shingles via
+  explode + self-join, for verification of the approximate families.
+
+All hashing is keyed blake2b — deterministic across processes (no
+Python ``hash()``), identical on driver and executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.text import shingles
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts: ``(text_hash, n_copies, keeper)``."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias(f"keeper_{id_col}"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep only the minimum-id row per identical text."""
+    keepers = exact_dedup(df, id_col, text_col).select(
+        F.col(f"keeper_{id_col}").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    hs = [
+        int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+        for s in shingles(text, k)
+    ]
+    return np.array(hs or [0], dtype=np.uint64)
+
+
+def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_minhash_udf(n_perm: int = 64, k: int = 3, seed: int = 42):
+    a, b = _perm_params(n_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> list[int]:
+            h = _shingle_hashes(text or "", k)
+            # (a*h + b) mod p, vectorized over perms × shingles
+            vals = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            return vals.min(axis=1).astype(np.int64).tolist()
+
+        return texts.map(one)
+
+    return minhash_udf
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    udf = make_minhash_udf(n_perm=n_perm, k=k, seed=seed)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(id_a, id_b, est_jaccard)``.
+
+    est_jaccard = fraction of matching MinHash components; pairs are
+    produced once (id_a < id_b) and deduped across bands.
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, k, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), band * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda m: m))
+                / F.lit(n_perm)
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def make_simhash_udf(seed: int = 42):
+    @F.pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> int:
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in (text or "").lower().split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8,
+                                    key=seed.to_bytes(8, "big")).digest(),
+                    "big",
+                )
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+            return val - (1 << 64) if val >= (1 << 63) else val  # to signed int64
+
+        return texts.map(one)
+
+    return simhash_udf
+
+
+def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               seed: int = 42) -> DataFrame:
+    return df.select(F.col(id_col), make_simhash_udf(seed)(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3, seed: int = 42) -> DataFrame:
+    """Near-dup pairs by SimHash: band-block then exact hamming filter.
+
+    Four 16-bit bands: any pair with hamming distance <= 3 collides on
+    at least one band (pigeonhole), so blocking is lossless for the
+    threshold while the join only shuffles (band, key16) buckets.
+    """
+    sigs = simhash_64(df, id_col, text_col, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key16"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.explode(band_structs).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key16").alias("key16")
+    )
+    left = banded.select("band", "key16", F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = banded.select("band", "key16", F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sh_b"))
+    return (
+        left.join(right, ["band", "key16"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def make_shingle_udf(k: int = 3):
+    @F.pandas_udf(ArrayType(LongType()))
+    def shingle_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingle_hashes(t or "", k).astype(np.int64).tolist())
+
+    return shingle_udf
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via explode + self-join."""
+    sh = df.select(F.col(id_col), make_shingle_udf(k)(F.col(text_col)).alias("sh"))
+    sh = sh.withColumn("n_sh", F.size(F.array_distinct("sh")))
+    exploded = sh.select(id_col, "n_sh", F.explode(F.array_distinct("sh")).alias("shingle"))
+    a = exploded.select(F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    b = exploded.select(F.col("shingle"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return inter.select(
+        "id_a", "id_b",
+        (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

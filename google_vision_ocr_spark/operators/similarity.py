@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (training-pipeline extension).
+
+- :func:`cosine_topk` — brute-force cosine top-k against a query
+  vector, entirely in JVM-side higher-order functions (``zip_with`` +
+  ``aggregate`` dot product, double precision).  The baseline and the
+  correctness oracle for the approximate path.
+- :func:`hyperplane_lsh_topk` — random-hyperplane LSH: a fixed-seed
+  plane matrix (broadcast to executors inside a vectorized pandas UDF)
+  maps each vector to a bucket code; candidates share the query's
+  bucket within hamming radius, then exact cosine reranks.  At scale,
+  the bucket column is a partition/cluster key, so a query touches a
+  bounded number of buckets instead of the full table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _cosine_col(vec_col: str, query_col: str):
+    dot = DOT_EXPR.format(a=vec_col, b=query_col)
+    na = DOT_EXPR.format(a=vec_col, b=vec_col)
+    nb = DOT_EXPR.format(a=query_col, b=query_col)
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to the vector with ``query_id``.
+
+    The single query row is broadcast; ordering ties break on id so the
+    result is deterministic.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
+    )
+    return (
+        scored.orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def make_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """One 64-bit LSH code per table, packed into an array column."""
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        def one(v) -> int:
+            arr = np.asarray(v, dtype=np.float64)
+            bits = (planes @ arr) > 0
+            return int(bits.astype(np.uint64) @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)))
+
+        return vecs.map(one)
+
+    return bucket_udf
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    hamming_radius: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table LSH prefilter + exact rerank.
+
+    OR-amplification: a row is a candidate if its code is within
+    ``hamming_radius`` of the query's code in **any** of ``n_tables``
+    independent hyperplane tables — essential when vectors are
+    near-orthogonal (random-embedding regime), where a single table's
+    radius filter has near-zero recall.  At scale the per-table code is
+    a cluster/partition key; the radius probe touches a bounded bucket
+    neighborhood instead of the full table.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    with_codes = embeddings
+    for t in range(n_tables):
+        udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
+        with_codes = with_codes.withColumn(f"__code{t}", udf(F.col(vec_col)))
+    code_cols = [f"__code{t}" for t in range(n_tables)]
+    qrow = with_codes.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"),
+        *[F.col(c).alias(f"__qc{t}") for t, c in enumerate(code_cols)],
+    )
+    any_close = None
+    for t in range(n_tables):
+        close = (
+            F.bit_count(F.col(code_cols[t]).bitwiseXOR(F.col(f"__qc{t}"))) <= hamming_radius
+        )
+        any_close = close if any_close is None else (any_close | close)
+    candidates = (
+        with_codes.crossJoin(F.broadcast(qrow))
+        .filter(F.col(id_col) != query_id)
+        .filter(any_close)
+    )
+    return (
+        candidates.select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
+    )

@@ -1,0 +1,87 @@
+"""Dedup + similarity operators on planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old house near the river bank under the summer sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                  # exact dup of 1
+        (3, BASE.replace("summer", "winter")),      # near dup of 1
+        (4, "completely different content about spark partitions and "
+            "shuffle joins at terabyte scale with adaptive execution"),
+        (5, "yet another unrelated document mentioning embeddings "
+            "vectors buckets and approximate nearest neighbor search"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from google_vision_ocr_spark.operators.dedup import drop_exact_dups, exact_dedup
+
+    agg = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert agg[1] == 2  # docs 1 and 2 collapse, min id kept
+    kept = {r["doc_id"] for r in drop_exact_dups(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    from google_vision_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0          # exact dups: all components match
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (4, 5) not in pairs           # unrelated never bucket together
+
+
+def test_simhash_finds_near_dup(docs):
+    from google_vision_ocr_spark.operators.dedup import simhash_candidates
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_candidates(docs).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact(docs):
+    from google_vision_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.8 < pairs[(1, 3)] < 1.0     # one word changed in a long text
+    assert (1, 4) not in pairs
+
+
+def test_lsh_ann_recall(spark):
+    from google_vision_ocr_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {r["vec_id"] for r in cosine_topk(e, 7).collect()}
+    lsh = {r["vec_id"] for r in hyperplane_lsh_topk(e, 7).collect()}
+    assert len(bf & lsh) / 10 >= 0.3     # random near-orthogonal data
+
+
+def test_brute_force_cosine_self_consistency(spark):
+    from google_vision_ocr_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    top = cosine_topk(e, 0, k=5).collect()
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    # near-dup via embedding cosine: planting an identical vector
+    dup = e.filter(F.col("vec_id") == 0).select((F.col("vec_id") + 10000).alias("vec_id"),
+                                                "embedding", "label")
+    top1 = cosine_topk(e.unionByName(dup), 0, k=1).collect()[0]
+    assert top1["vec_id"] == 10000 and top1["cos_sim"] == 1.0

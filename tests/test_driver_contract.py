@@ -1,0 +1,66 @@
+"""Mimic the driver's correctness gate: run every ``queries()`` entry on
+sf0.001 and compare to its ``oracle_sql()`` twin via DuckDB (row count +
+column names + order-insensitive values)."""
+
+import glob
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for p in sorted(glob.glob(f"{SF_DIR}/*.parquet")):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.execute(f"create view {name} as select * from read_parquet('{p}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, con, name):
+    q = entry_mod.queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row count"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: columns"
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                  rtol=1e-5, atol=1e-8)
+
+
+NO_ORACLE = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
