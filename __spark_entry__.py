@@ -31,11 +31,11 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic multi-page payloads → full extraction
     pipeline (rasterize → grayscale → PNG → recognize → ordered framed
     concat).  SURVEY.md §3.2 shape; oracle-checkable end-to-end."""
-    from google_vision_ocr_spark.plans.extract import extract
+    from google_vision_ocr_spark.plans.fused import extract_fused
     from google_vision_ocr_spark.sources.documents import documents_to_pages
 
     pages = documents_to_pages(_t(spark, sf_dir, "documents"))
-    out = extract(pages, salt_partitions=32)
+    out = extract_fused(pages, salt_partitions=32)
     return out.select("url", "text", F.col("n_pages").cast("int").alias("n_pages"))
 
 

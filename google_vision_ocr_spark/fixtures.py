@@ -46,8 +46,8 @@ def _sentence(rng: random.Random) -> str:
     return " ".join(words) + rng.choice(_SENTENCE_PUNCT)
 
 
-def _page_text(rng: random.Random) -> str:
-    return "\n".join(_sentence(rng) for _ in range(rng.randint(1, 5)))
+def _page_text(rng: random.Random, min_sentences: int = 1, max_sentences: int = 5) -> str:
+    return "\n".join(_sentence(rng) for _ in range(rng.randint(min_sentences, max_sentences)))
 
 
 def _html_doc(rng: random.Random, main_paras: list[str]) -> bytes:
@@ -82,6 +82,8 @@ def generate_pages(
     skew_pages: int = 300,
     pdf_frac: float = 0.6,
     html_frac: float = 0.3,
+    min_sentences: int = 1,
+    max_sentences: int = 5,
 ) -> pa.Table:
     """Build the synthetic ``pages`` table as a pyarrow Table."""
     rng = random.Random(seed)
@@ -103,7 +105,9 @@ def generate_pages(
             kind = "text"
         if kind == "pdf":
             n_pages = skew_pages if i == n_urls // 2 else rng.randint(1, 8)
-            payload = formats.encode_spdf([_page_text(rng) for _ in range(n_pages)])
+            payload = formats.encode_spdf(
+                [_page_text(rng, min_sentences, max_sentences) for _ in range(n_pages)]
+            )
             text = None
         elif kind == "html":
             payload = _html_doc(rng, [_sentence(rng) for _ in range(rng.randint(2, 6))])
@@ -152,8 +156,13 @@ def generate_illustrations(pages: pa.Table, seed: int = 42) -> pa.Table:
     )
 
 
-def write_pages_parquet(path: str, n_urls: int = 200, seed: int = 42, **kw) -> str:
-    pq.write_table(generate_pages(n_urls=n_urls, seed=seed, **kw), path)
+def write_pages_parquet(path: str, n_urls: int = 200, seed: int = 42,
+                        row_group_rows: int = 256, **kw) -> str:
+    """Small row groups so Spark's scan splits parallelize: a single
+    monolithic row group serializes the whole read into one task no
+    matter how many executors exist."""
+    pq.write_table(generate_pages(n_urls=n_urls, seed=seed, **kw), path,
+                   row_group_size=row_group_rows)
     return path
 
 

@@ -42,7 +42,7 @@ def framed_concat(df: DataFrame, doc_col: str = "url", page_col: str = "page",
         F.sum(F.col(error_col).cast("int")) if error_col else F.lit(0)
     ).alias("n_errors")
     grouped = df.groupBy(F.col(doc_col).alias("url")).agg(
-        F.array_sort(F.collect_list(F.struct(F.col(page_col).alias("page"),
+        F.array_sort(F.collect_list(F.struct(F.col(page_col).cast("int").alias("page"),
                                              F.col(text_col).alias("text")))).alias("ps"),
         F.count(F.lit(1)).alias("n_pages"),
         err_expr,

@@ -53,12 +53,40 @@ def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return df.join(keepers, id_col, "left_semi")
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:
+            _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    hs = [
-        int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-        for s in shingles(text, k)
-    ]
-    return np.array(hs or [0], dtype=np.uint64)
+    """Distinct hashes of word k-shingles.
+
+    Hot path: one keyed digest per *distinct token* (cached across the
+    Arrow batch / executor lifetime), then a vectorized polynomial
+    combination over the token-hash array — equivalent uniqueness to
+    hashing each shingle string, ~k× fewer digest calls.
+    """
+    toks = [t.lower() for t in text.split()]
+    if not toks:
+        return np.array([0], dtype=np.uint64)
+    th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
+    if len(toks) < k:
+        h = np.uint64(1469598103934665603)
+        for v in th:
+            h = h * np.uint64(1000003) + v
+        return np.array([h], dtype=np.uint64)
+    n = len(toks) - k + 1
+    acc = np.full(n, 1469598103934665603, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(1000003) + th[j : j + n]
+    return np.unique(acc)
 
 
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:

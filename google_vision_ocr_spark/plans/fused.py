@@ -1,0 +1,233 @@
+"""Scale-optimal fused extraction plan: ONE scan + TWO shuffles.
+
+The branched plan (``plans/extract.py``) is operator-per-stage and easy
+to test, but each of its five branches re-scans the input table — at
+10^12 rows that multiplies the most expensive I/O in the job (the
+``html`` payload column) by 5.  This fused plan restructures the same
+semantics into the minimal physical shape:
+
+1. ``scan_items``   — one ``mapInPandas`` pass over the single scan:
+   classify by magic bytes, rasterize+explode PDF pages, normalize
+   image formats (T3), strip HTML (T11), pass text through.  Output is
+   the unified page-item stream ``(url, page, kind, image, text)``.
+2. salted repartition on ``(url, page)`` — the only pre-recognition
+   shuffle; spreads a skewed multi-hundred-page document across the
+   cluster (BASELINE.json north_star).
+3. ``recognize_items`` — ``mapInPandas``: grayscale+PNG (PDF pages
+   only — the reference's folder path skips preprocessing,
+   ``ocr_service.py:173-174``) then recognition with rate limiting,
+   retries and error-as-data.
+4. ``assemble_docs`` — one ``groupBy(url)`` (the second shuffle):
+   per-kind finishing — PDF docs get the ordered framed concat + byte
+   spans (``ocr_service.py:116,119-122``), single-item kinds pass
+   their text through.
+
+Byte-identical to the oracle and to the branched plan (asserted in
+tests); the branched plan remains for per-operator testing and for
+pathological skew experiments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import formats
+from ..functions.html import strip_html_bytes
+from ..operators.assemble import FRAME_SQL, SPANS_TYPE
+from ..operators.preprocess import deskew as _deskew
+from ..operators.preprocess import dpi_normalize, otsu_binarize
+from ..operators.recognize import TokenBucket
+from ..recognizers import RecognitionError, get_recognizer
+
+ITEM_SCHEMA = "url string, page int, kind string, image binary, text string"
+RECOGNIZED_SCHEMA = "url string, page int, kind string, text string, ocr_error boolean"
+_CHUNK_ROWS = 256
+
+
+def scan_items(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Single-pass classify + rasterize + normalize + HTML strip."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: dict[str, list] = {"url": [], "page": [], "kind": [], "image": [], "text": []}
+
+        def push(url, page, kind, image, text):
+            buf["url"].append(url)
+            buf["page"].append(page)
+            buf["kind"].append(kind)
+            buf["image"].append(image)
+            buf["text"].append(text)
+
+        def flush():
+            out = pd.DataFrame(buf)
+            for k in buf:
+                buf[k] = []
+            return out
+
+        for pdf in batches:
+            for url, payload, text in zip(pdf["url"], pdf[payload_col], pdf["text"]):
+                payload = bytes(payload) if payload is not None else None
+                fmt = formats.sniff_format(payload)
+                if fmt == "SPDF":
+                    try:
+                        page_texts = formats.decode_spdf(payload)
+                    except Exception:
+                        push(url, 1, "pdf", None, None)  # error-as-data downstream
+                        continue
+                    for page_no, page_text in enumerate(page_texts, start=1):
+                        push(url, page_no, "pdf",
+                             formats.encode_simg(formats.render_page_rgb(page_text)), None)
+                        if len(buf["url"]) >= _CHUNK_ROWS:
+                            yield flush()
+                elif fmt in ("PNG", "BMP", "GIF"):
+                    if fmt == "GIF":  # T3: re-encode unsupported formats to PNG
+                        try:
+                            payload = formats.encode_png(formats.decode_gif_gray(payload))
+                        except Exception:
+                            pass
+                    push(url, 1, "image", payload, None)
+                elif fmt == "HTML":
+                    push(url, 1, "html", None, strip_html_bytes(payload))
+                elif fmt == "none":
+                    push(url, 1, "text", None, text if text is not None else "")
+                else:
+                    push(url, 1, "unknown", None, None)
+                if len(buf["url"]) >= _CHUNK_ROWS:
+                    yield flush()
+        if buf["url"]:
+            yield flush()
+
+    return df.select("url", payload_col, "text").mapInPandas(gen, ITEM_SCHEMA)
+
+
+def recognize_items(
+    items: DataFrame,
+    recognizer: str = "stub",
+    rate_limit_qps: float | None = None,
+    max_retries: int = 3,
+    backoff_base_s: float = 0.05,
+    otsu: bool = False,
+    do_deskew: bool = False,
+    dpi: bool = False,
+) -> DataFrame:
+    """Preprocess (PDF pages only) + recognize; everything else passes."""
+    import time as _time
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = get_recognizer(recognizer)
+        bucket = TokenBucket(rate_limit_qps) if rate_limit_qps else None
+
+        def recognize_bytes(payload: bytes, item_id) -> tuple[str, bool]:
+            attempt = 0
+            while True:
+                if bucket is not None:
+                    bucket.acquire()
+                try:
+                    return engine.recognize(payload), False
+                except RecognitionError as exc:
+                    return f"OCR Error for ID {item_id}: {exc}", True
+                except Exception as exc:
+                    attempt += 1
+                    if attempt > max_retries:
+                        return f"OCR Error for ID {item_id}: {exc}", True
+                    _time.sleep(backoff_base_s * (2 ** (attempt - 1)))
+
+        for pdf in batches:
+            texts: list[str | None] = []
+            errors: list[bool] = []
+            for url, page, kind, image, text in zip(
+                pdf["url"], pdf["page"], pdf["kind"], pdf["image"], pdf["text"]
+            ):
+                if kind == "pdf":
+                    if image is None:
+                        texts.append(f"OCR Error for ID {page}: corrupt document payload")
+                        errors.append(True)
+                        continue
+                    arr = formats.decode_simg(bytes(image))
+                    gray = formats.rgb_to_gray(arr) if arr.ndim == 3 else arr
+                    if dpi:
+                        gray = dpi_normalize(gray)
+                    if do_deskew:
+                        gray = _deskew(gray)
+                    if otsu:
+                        gray = otsu_binarize(gray)
+                    t, e = recognize_bytes(formats.encode_png(gray), int(page))
+                    texts.append(t)
+                    errors.append(e)
+                elif kind == "image":
+                    t, e = recognize_bytes(bytes(image), url)  # NO preprocess
+                    texts.append(t)
+                    errors.append(e)
+                elif kind == "unknown":
+                    texts.append("")
+                    errors.append(True)
+                else:  # html / text: already extracted
+                    texts.append(text)
+                    errors.append(False)
+            out = pdf[["url", "page", "kind"]].copy()
+            out["text"] = texts
+            out["ocr_error"] = errors
+            yield out
+
+    return items.mapInPandas(run, RECOGNIZED_SCHEMA)
+
+
+def assemble_docs(recognized: DataFrame) -> DataFrame:
+    """One groupBy(url): per-kind finishing to the output contract."""
+    frame_x = FRAME_SQL.format(page="x.page", text="x.text")
+    frame_y = FRAME_SQL.format(page="y.page", text="y.text")
+    grouped = recognized.groupBy("url").agg(
+        F.first("kind").alias("kind"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("page").alias("page"), F.col("text").alias("text")))
+        ).alias("ps"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ocr_error").cast("int")).alias("n_errors"),
+    )
+    spans_expr = f"""
+        aggregate(
+            ps,
+            struct(cast(0 as bigint) as off, cast(array() as {SPANS_TYPE}) as spans),
+            (acc, y) -> struct(
+                acc.off + octet_length({frame_y}) as off,
+                array_append(acc.spans,
+                             struct(y.page as page, acc.off as start,
+                                    acc.off + octet_length({frame_y}) as `end`)) as spans),
+            acc -> acc.spans)
+    """
+    return grouped.select(
+        "url",
+        "kind",
+        F.when(F.col("kind") == "pdf", F.expr(f"array_join(transform(ps, x -> {frame_x}), '')"))
+        .otherwise(F.element_at(F.col("ps"), 1)["text"]).alias("text"),
+        F.when(F.col("kind") == "pdf", F.expr(spans_expr))
+        .otherwise(F.expr(f"cast(array() as {SPANS_TYPE})")).alias("spans"),
+        F.when(F.col("kind") == "pdf", F.col("n_rows"))
+        .when(F.col("kind").isin("image", "html"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("n_pages"),
+        F.col("n_errors").cast("int").alias("n_errors"),
+    )
+
+
+def extract_fused(
+    df: DataFrame,
+    payload_col: str = "html",
+    recognizer: str = "stub",
+    salt_partitions: int | None = None,
+    rate_limit_qps: float | None = None,
+    otsu: bool = False,
+    do_deskew: bool = False,
+    dpi: bool = False,
+) -> DataFrame:
+    """The scale-default extraction plan: 1 scan + 2 shuffles."""
+    items = scan_items(df, payload_col)
+    if salt_partitions:
+        items = items.repartition(salt_partitions, "url", "page")
+    recognized = recognize_items(
+        items, recognizer=recognizer, rate_limit_qps=rate_limit_qps,
+        otsu=otsu, do_deskew=do_deskew, dpi=dpi,
+    )
+    return assemble_docs(recognized)

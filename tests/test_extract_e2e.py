@@ -13,10 +13,13 @@ from google_vision_ocr_spark import oracle
 from google_vision_ocr_spark.plans.extract import extract
 
 
-@pytest.fixture(scope="module")
-def results(spark, fixture_dir):
+@pytest.fixture(scope="module", params=["branched", "fused"])
+def results(request, spark, fixture_dir):
+    from google_vision_ocr_spark.plans.fused import extract_fused
+
     df = spark.read.parquet(fixture_dir["pages"])
-    out = extract(df, salt_partitions=8).collect()
+    plan = extract if request.param == "branched" else extract_fused
+    out = plan(df, salt_partitions=8).collect()
     rows = pq.read_table(fixture_dir["pages"]).to_pylist()
     expected = {r.url: r for r in oracle.extract_table(rows)}
     return {r["url"]: r for r in out}, expected

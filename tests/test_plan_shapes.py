@@ -1,0 +1,71 @@
+"""Physical-plan discipline (SURVEY.md §4): the plans we'd want at
+100 TB, not just plans that pass — pushdown, broadcast, partial agg."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted") \
+        if hasattr(df._sc._jvm, "PythonSQLUtils") else _plan(df)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 500))
+        .select("doc_id", "n_chars")
+    )
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+    # column pruning: text (the wide column) must not be read
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_illustration_routing_uses_broadcast_join(spark):
+    from google_vision_ocr_spark.operators.assemble import route_illustrations
+
+    pages = spark.createDataFrame([("u", p, "t") for p in range(10)],
+                                  ["url", "page", "text"])
+    illust = spark.createDataFrame([("u", 3)], ["url", "page"])
+    ocr, img = route_illustrations(pages, illust)
+    assert "BroadcastHashJoin" in _plan(ocr)
+    assert "BroadcastHashJoin" in _plan(img)
+
+
+def test_framed_concat_uses_partial_aggregation(spark):
+    from google_vision_ocr_spark.operators.assemble import framed_concat
+
+    df = spark.createDataFrame([("u", 1, "a", False)], ["url", "page", "text", "ocr_error"])
+    plan = _plan(framed_concat(df))
+    # ObjectHashAggregate runs partial collect_list map-side before the
+    # exchange, merge after — one shuffle keyed on url
+    assert "ObjectHashAggregate" in plan
+    assert plan.count("Exchange") >= 1
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    from google_vision_ocr_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(cosine_topk(e, 0))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_fused_extract_has_single_source_scan(spark, fixture_dir):
+    from google_vision_ocr_spark.plans.extract import extract
+    from google_vision_ocr_spark.plans.fused import extract_fused
+
+    df = spark.read.parquet(fixture_dir["pages"])
+    fused_plan = _plan(extract_fused(df))
+    branched_plan = _plan(extract(df))
+    # the branched plan re-scans the payload per branch; fused must not
+    assert fused_plan.count("Scan parquet") == 1
+    assert branched_plan.count("Scan parquet") >= 4
