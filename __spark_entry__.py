@@ -116,6 +116,34 @@ def _w1_gaps_islands(spark, sf_dir):
     )
 
 
+def _a2_merged_chapters(spark, sf_dir):
+    """W1 islands + A2 ordered merged concat per island over events
+    (the EPUB chapter-merge shape, epub_processor.py:200-236)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_island = e.withColumn(
+        "island", F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w)
+    )
+    return with_island.groupBy("user_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("event_id").alias("eid"),
+                                            F.col("event_type").alias("et")))
+                ),
+                lambda x: F.format_string("<h2>Event %d</h2><pre>%s</pre>\n",
+                                          x["eid"], x["et"]),
+            ),
+            "",
+        ).alias("merged_html"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def _w2_row_number(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
@@ -266,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_semi_join": _j2_semi_join,
         "j3_anti_join": _j3_anti_join,
         "a1_group_concat_framed": _a1_group_concat,
+        "a2_merged_chapters": _a2_merged_chapters,
         "w1_gaps_islands": _w1_gaps_islands,
         "w2_row_number": _w2_row_number,
         "o2_topk_per_lang": _o2_topk_per_lang,
@@ -335,6 +364,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg({frame.format(page="doc_id", text="text")},
                               '' ORDER BY doc_id) AS doc_text
             FROM documents GROUP BY source
+        """,
+        "a2_merged_chapters": """
+            WITH marked AS (
+                SELECT user_id, event_id, event_type, ts,
+                       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM events
+            )
+            SELECT user_id, island,
+                   string_agg('<h2>Event ' || event_id || '</h2><pre>' || event_type
+                              || '</pre>' || chr(10), '' ORDER BY event_id) AS merged_html,
+                   min(event_id) AS first_event
+            FROM marked GROUP BY user_id, island
         """,
         "w1_gaps_islands": """
             WITH marked AS (

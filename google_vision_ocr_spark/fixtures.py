@@ -84,9 +84,25 @@ def generate_pages(
     html_frac: float = 0.3,
     min_sentences: int = 1,
     max_sentences: int = 5,
+    text_pool: int | None = None,
 ) -> pa.Table:
-    """Build the synthetic ``pages`` table as a pyarrow Table."""
+    """Build the synthetic ``pages`` table as a pyarrow Table.
+
+    ``text_pool``: draw page texts from a pregenerated pool of that
+    size instead of synthesizing each page — orders of magnitude faster
+    for multi-hundred-thousand-page bench fixtures (content variety
+    doesn't matter there, volume does).
+    """
     rng = random.Random(seed)
+    pool: list[str] | None = None
+    if text_pool:
+        pool_rng = random.Random(seed + 7)
+        pool = [_page_text(pool_rng, min_sentences, max_sentences) for _ in range(text_pool)]
+
+    def page_text() -> str:
+        if pool is not None:
+            return pool[rng.randrange(len(pool))]
+        return _page_text(rng, min_sentences, max_sentences)
     urls, tss, payloads, texts, langs, kinds = [], [], [], [], [], []
     lang_cycle = ("en", "de", "es", "fr", "zh", "jp")
     for i in range(n_urls):
@@ -105,9 +121,7 @@ def generate_pages(
             kind = "text"
         if kind == "pdf":
             n_pages = skew_pages if i == n_urls // 2 else rng.randint(1, 8)
-            payload = formats.encode_spdf(
-                [_page_text(rng, min_sentences, max_sentences) for _ in range(n_pages)]
-            )
+            payload = formats.encode_spdf([page_text() for _ in range(n_pages)])
             text = None
         elif kind == "html":
             payload = _html_doc(rng, [_sentence(rng) for _ in range(rng.randint(2, 6))])

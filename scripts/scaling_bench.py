@@ -28,21 +28,30 @@ from google_vision_ocr_spark.plans.fused import extract_fused
 import pyspark.sql.functions as F
 
 cores = {cores}
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "24g"
 file_bytes = os.path.getsize({pages_path!r})
 # split the input so every core gets several scan tasks
 max_part = max(1 << 20, file_bytes // (cores * 4))
+# micro-bench posture: AQE's per-stage materialization adds seconds of
+# fixed latency that swamps a minutes-long local job; at real scale AQE
+# stays on (session default)
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=max(cores, 8),
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(max_part)}})
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(max_part),
+                             "spark.sql.adaptive.enabled": "false",
+                             "spark.sql.execution.arrow.maxRecordsPerBatch": "10000"}})
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet({pages_path!r})
 # warm-up: spawn+import every Python worker and JIT the JVM paths by
 # running the real pipeline on a small slice
-warm = extract_fused(df.limit(64).repartition(cores), salt_partitions=cores)
+warm = extract_fused(df.limit(64).repartition(cores))
 warm.write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()
-out = extract_fused(df, salt_partitions={salt})
+# document-level parallelism: the scan's splits spread documents evenly;
+# no pre-shuffle of payload bytes (page_level_salt exists for
+# pathological page-count skew, not needed at 1-8 pages typical)
+out = extract_fused(df)
 agg = out.agg(F.count(F.lit(1)).alias("docs"), F.sum("n_pages").alias("pages"),
               F.sum(F.octet_length("text")).alias("bytes")).collect()[0]
 elapsed = time.perf_counter() - t0
@@ -68,7 +77,7 @@ def run_level(cores: int, pages_path: str, salt: int, in_parts: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--urls", type=int, default=12000)
+    ap.add_argument("--urls", type=int, default=480000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
@@ -82,19 +91,19 @@ def main() -> None:
 
         print(f"generating {args.urls}-url pages table ...", flush=True)
         fixtures.write_pages_parquet(pages_path, n_urls=args.urls, seed=42, skew_pages=400,
-                                     min_sentences=12, max_sentences=30)
+                                     min_sentences=40, max_sentences=80, text_pool=4000)
 
     salt = args.high * 4
     in_parts = args.high * 2
     results = {}
-    for cores in (args.low, args.high):
-        best = None
-        for _ in range(args.repeats):
+    # interleave levels to average out external interference on this
+    # shared VM; keep the best run per level
+    for _ in range(args.repeats):
+        for cores in (args.low, args.high):
             r = run_level(cores, pages_path, salt, in_parts)
             print("  ", r, flush=True)
-            if best is None or r["elapsed_s"] < best["elapsed_s"]:
-                best = r
-        results[cores] = best
+            if cores not in results or r["elapsed_s"] < results[cores]["elapsed_s"]:
+                results[cores] = r
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low
