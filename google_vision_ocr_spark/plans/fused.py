@@ -327,6 +327,8 @@ def extract_fused(
     do_deskew: bool = False,
     dpi: bool = False,
     page_level_salt: bool = False,
+    max_retries: int = 3,
+    backoff_base_s: float = 0.05,
 ) -> DataFrame:
     """The scale-default extraction plan: 1 scan + ≤2 shuffles.
 
@@ -357,6 +359,7 @@ def extract_fused(
         src = src.repartition(salt_partitions, "url")
     recognized = process_items(
         src, payload_col, recognizer=recognizer, rate_limit_qps=rate_limit_qps,
+        max_retries=max_retries, backoff_base_s=backoff_base_s,
         otsu=otsu, do_deskew=do_deskew, dpi=dpi,
     )
     return assemble_docs(recognized)

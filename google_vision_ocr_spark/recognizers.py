@@ -68,9 +68,27 @@ class GoogleVisionRecognizer:  # pragma: no cover - needs network + creds
         return [self.recognize(p) for p in payloads]
 
 
+class FlakyStubRecognizer(StubRecognizer):
+    """Test double: the first attempt on each distinct payload raises a
+    *retryable* error (plain RuntimeError, not RecognitionError), the
+    retry succeeds — exercises the backoff path deterministically."""
+
+    def __init__(self) -> None:
+        self._seen: set[int] = set()
+
+    def recognize(self, payload: bytes) -> str:
+        key = hash(bytes(payload[:64]))
+        if key not in self._seen:
+            self._seen.add(key)
+            raise RuntimeError("transient recognition failure (injected)")
+        return super().recognize(payload)
+
+
 def get_recognizer(name: str = "stub"):
     if name == "stub":
         return StubRecognizer()
+    if name == "flaky-stub":
+        return FlakyStubRecognizer()
     if name == "google-vision":
         return GoogleVisionRecognizer()
     raise ValueError(f"unknown recognizer: {name}")
