@@ -24,6 +24,23 @@ FRAME_SQL = r"format_string('\n--- Page %d ---\n%s\n\n', {page}, {text})"
 
 SPANS_TYPE = "array<struct<page:int,start:bigint,end:bigint>>"
 
+# framed blocks computed ONCE per page into a `framed` column; text and
+# spans both derive from it (format_string is the hot expression here)
+FRAMED_FROM_PS = "transform(ps, x -> {frame})".format(
+    frame=FRAME_SQL.format(page="x.page", text="x.text")
+)
+SPANS_FROM_FRAMED = f"""
+    aggregate(
+        zip_with(ps, framed, (p, f) -> struct(p.page as page, octet_length(f) as len)),
+        struct(cast(0 as bigint) as off, cast(array() as {SPANS_TYPE}) as spans),
+        (acc, y) -> struct(
+            acc.off + y.len as off,
+            array_append(acc.spans,
+                         struct(y.page as page, acc.off as start,
+                                acc.off + y.len as `end`)) as spans),
+        acc -> acc.spans)
+"""
+
 
 def frame_col(page_col: str, text_col: str):
     return F.expr(FRAME_SQL.format(page=page_col, text=text_col))
@@ -47,28 +64,15 @@ def framed_concat(df: DataFrame, doc_col: str = "url", page_col: str = "page",
         F.count(F.lit(1)).alias("n_pages"),
         err_expr,
     )
-    frame_x = FRAME_SQL.format(page="x.page", text="x.text")
-    frame_y = FRAME_SQL.format(page="y.page", text="y.text")
-    text_expr = f"array_join(transform(ps, x -> {frame_x}), '')"
-    spans_expr = f"""
-        aggregate(
-            ps,
-            struct(cast(0 as bigint) as off,
-                   cast(array() as {SPANS_TYPE}) as spans),
-            (acc, y) -> struct(
-                acc.off + octet_length({frame_y}) as off,
-                array_append(acc.spans,
-                             struct(y.page as page,
-                                    acc.off as start,
-                                    acc.off + octet_length({frame_y}) as `end`)) as spans),
-            acc -> acc.spans)
-    """
-    return grouped.select(
-        "url",
-        F.expr(text_expr).alias("text"),
-        F.expr(spans_expr).alias("spans"),
-        F.col("n_pages").cast("int").alias("n_pages"),
-        F.col("n_errors").cast("int").alias("n_errors"),
+    return (
+        grouped.withColumn("framed", F.expr(FRAMED_FROM_PS))
+        .select(
+            "url",
+            F.expr("array_join(framed, '')").alias("text"),
+            F.expr(SPANS_FROM_FRAMED).alias("spans"),
+            F.col("n_pages").cast("int").alias("n_pages"),
+            F.col("n_errors").cast("int").alias("n_errors"),
+        )
     )
 
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .. import formats
 from ..functions.html import strip_html_bytes
-from ..operators.assemble import FRAME_SQL, SPANS_TYPE
+from ..operators.assemble import FRAMED_FROM_PS, SPANS_FROM_FRAMED, SPANS_TYPE
 from ..operators.preprocess import deskew as _deskew
 from ..operators.preprocess import dpi_normalize, otsu_binarize
 from ..operators.recognize import TokenBucket
@@ -177,8 +177,6 @@ def recognize_items(
 
 def assemble_docs(recognized: DataFrame) -> DataFrame:
     """One groupBy(url): per-kind finishing to the output contract."""
-    frame_x = FRAME_SQL.format(page="x.page", text="x.text")
-    frame_y = FRAME_SQL.format(page="y.page", text="y.text")
     grouped = recognized.groupBy("url").agg(
         F.first("kind").alias("kind"),
         F.array_sort(
@@ -187,23 +185,18 @@ def assemble_docs(recognized: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("ocr_error").cast("int")).alias("n_errors"),
     )
-    spans_expr = f"""
-        aggregate(
-            ps,
-            struct(cast(0 as bigint) as off, cast(array() as {SPANS_TYPE}) as spans),
-            (acc, y) -> struct(
-                acc.off + octet_length({frame_y}) as off,
-                array_append(acc.spans,
-                             struct(y.page as page, acc.off as start,
-                                    acc.off + octet_length({frame_y}) as `end`)) as spans),
-            acc -> acc.spans)
-    """
-    return grouped.select(
+    # frame only pdf docs; others reuse their single row's text as-is
+    with_framed = grouped.withColumn(
+        "framed",
+        F.when(F.col("kind") == "pdf", F.expr(FRAMED_FROM_PS))
+        .otherwise(F.expr("cast(array() as array<string>)")),
+    )
+    return with_framed.select(
         "url",
         "kind",
-        F.when(F.col("kind") == "pdf", F.expr(f"array_join(transform(ps, x -> {frame_x}), '')"))
+        F.when(F.col("kind") == "pdf", F.expr("array_join(framed, '')"))
         .otherwise(F.element_at(F.col("ps"), 1)["text"]).alias("text"),
-        F.when(F.col("kind") == "pdf", F.expr(spans_expr))
+        F.when(F.col("kind") == "pdf", F.expr(SPANS_FROM_FRAMED))
         .otherwise(F.expr(f"cast(array() as {SPANS_TYPE})")).alias("spans"),
         F.when(F.col("kind") == "pdf", F.col("n_rows"))
         .when(F.col("kind").isin("image", "html"), F.lit(1))
@@ -232,10 +225,22 @@ def process_items(
     JVM and a shuffle.  Measured on this box: the staged variant
     anti-scales beyond ~8 cores purely from moving rasters
     JVM↔Python↔shuffle; the fused stage scales with cores.
+
+    Runs over ``mapInArrow``: pandas boxing of the multi-KB binary
+    payload column costs ~3× the bare Arrow stream on this job
+    (measured: 26.1s vs 7.5s passthrough at 32 cores on a 4.5 GB
+    input), so record batches are consumed directly.
     """
     import time as _time
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    out_schema_pa = pa.schema([
+        ("url", pa.string()), ("page", pa.int32()), ("kind", pa.string()),
+        ("text", pa.string()), ("ocr_error", pa.bool_()),
+    ])
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         engine = get_recognizer(recognizer)
         bucket = TokenBucket(rate_limit_qps) if rate_limit_qps else None
 
@@ -274,14 +279,16 @@ def process_items(
             buf["ocr_error"].append(err)
 
         def flush():
-            out = pd.DataFrame(buf)
+            out = pa.RecordBatch.from_pydict(buf, schema=out_schema_pa)
             for k in buf:
                 buf[k] = []
             return out
 
-        for pdf in batches:
-            for url, payload, text in zip(pdf["url"], pdf[payload_col], pdf["text"]):
-                payload = bytes(payload) if payload is not None else None
+        for rb in batches:
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            for url, payload, text in zip(
+                cols["url"].to_pylist(), cols[payload_col].to_pylist(), cols["text"].to_pylist()
+            ):
                 fmt = formats.sniff_format(payload)
                 if fmt == "SPDF":
                     try:
@@ -314,7 +321,7 @@ def process_items(
         if buf["url"]:
             yield flush()
 
-    return df.select("url", payload_col, "text").mapInPandas(run, RECOGNIZED_SCHEMA)
+    return df.select("url", payload_col, "text").mapInArrow(run, RECOGNIZED_SCHEMA)
 
 
 def extract_fused(
