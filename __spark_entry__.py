@@ -285,6 +285,64 @@ def _quality_scores(spark, sf_dir):
     return d.select("doc_id", quality_udf(F.col("text")).alias("quality"))
 
 
+def _tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the canonical partial+final hash-agg
+    shape over the biggest table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _text_tokens_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"))
+        .cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _fingerprints(spark, sf_dir):
+    import pandas as pd  # noqa: F811
+
+    from google_vision_ocr_spark.functions.text import rolling_fingerprint
+
+    @F.pandas_udf("string")
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda t: f"{rolling_fingerprint(t):016x}")
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fp_udf(F.col("text")).alias("fingerprint"))
+
+
+def _lsh_bucket_histogram(spark, sf_dir):
+    from google_vision_ocr_spark.operators.similarity import lsh_bucket_histogram
+
+    return lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def _embedding_near_dups(spark, sf_dir):
+    from google_vision_ocr_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -312,6 +370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _simhash_pairs,
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "text_tokens_bpe": _text_tokens_bpe,
+        "doc_fingerprints": _fingerprints,
+        "lsh_bucket_histogram": _lsh_bucket_histogram,
+        "embedding_near_dups": _embedding_near_dups,
     }
 
 
@@ -459,7 +522,29 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(qe AS DOUBLE[])) DESC, vec_id
             LIMIT 10
         """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "text_tokens_bpe": r"""
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]')) AS bigint) AS bpe_tokens
+            FROM documents
+        """,
         # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash, lang_id_heuristic,
-        # quality_scores: python-defined semantics (seeded hashes / heuristics),
-        # not ANSI-SQL-expressible -> rows-only checks.
+        # quality_scores, doc_fingerprints, lsh_bucket_histogram,
+        # embedding_near_dups: python-defined semantics (seeded hashes /
+        # heuristics), not ANSI-SQL-expressible -> rows-only checks.
     }

@@ -28,6 +28,7 @@ HEADLINE = [
     "ann_bruteforce_cosine",
     "events_hourly",
     "text_token_counts",
+    "tpch_q1_pricing_summary",
 ]
 
 
@@ -51,11 +52,14 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        run_query(df)  # warm: JIT/codegen + file listing
-        t0 = time.perf_counter()
-        run_query(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        run_query(qs[name](spark, sf_dir))  # warm: JIT/codegen + file listing
+        best = None
+        for _ in range(2):  # best-of-2: this VM's run-to-run noise is 2-4x
+            t0 = time.perf_counter()
+            run_query(qs[name](spark, sf_dir))
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline query wall time (local[{}])".format(cpus),

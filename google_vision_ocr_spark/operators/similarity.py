@@ -78,6 +78,67 @@ def make_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return bucket_udf
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    Candidates share an exact bucket code in at least one table (high
+    thresholds ⇒ near-identical vectors ⇒ identical codes with high
+    probability), then exact cosine filters.  The join key is
+    ``(table, code)`` so only same-bucket rows shuffle — the all-pairs
+    O(n²) never materializes.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    coded = embeddings
+    for t in range(n_tables):
+        udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
+        coded = coded.withColumn(f"__c{t}", udf(F.col(vec_col)))
+    tables = None
+    for t in range(n_tables):
+        part = coded.select(
+            F.lit(t).alias("table"), F.col(f"__c{t}").alias("code"),
+            F.col(id_col), F.col(vec_col),
+        )
+        tables = part if tables is None else tables.unionByName(part)
+    a = tables.select("table", "code", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = tables.select("table", "code", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, ["table", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", _cosine_col("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def lsh_bucket_histogram(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucket-occupancy histogram of one LSH table — the balance check
+    a real deployment watches (hot buckets ⇒ bad pruning)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    udf = make_bucket_udf(dim, n_planes, seed)
+    return (
+        embeddings.select(udf(F.col(vec_col)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def hyperplane_lsh_topk(
     embeddings: DataFrame,
     query_id: int,
