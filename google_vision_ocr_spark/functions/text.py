@@ -113,10 +113,11 @@ def rolling_fingerprint(text: str) -> int:
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     h = np.uint64(1469598103934665603)  # FNV offset basis
     base = _FP_BASE
-    for chunk_start in range(0, data.size, 4096):
-        chunk = data[chunk_start : chunk_start + 4096]
-        for b in chunk:
-            h = (h * base + b) & _FP_MOD_MASK
+    with np.errstate(over="ignore"):  # modular 2^64 arithmetic is intended
+        for chunk_start in range(0, data.size, 4096):
+            chunk = data[chunk_start : chunk_start + 4096]
+            for b in chunk:
+                h = (h * base + b) & _FP_MOD_MASK
     return int(h)
 
 
