@@ -343,6 +343,18 @@ def _embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
 
 
+def _curate_documents(spark, sf_dir):
+    """End-to-end curation funnel (extract -> quality/lang gates ->
+    exact + near dedup) over the documents-derived pages table."""
+    from google_vision_ocr_spark.plans.curate import curate
+    from google_vision_ocr_spark.sources.documents import documents_to_pages
+
+    pages = documents_to_pages(_t(spark, sf_dir, "documents"))
+    curated, _obs = curate(pages, min_quality=0.2, min_tokens=5)
+    return curated.select("url", "ws_tokens", "lang_guess",
+                          F.round("quality", 4).alias("quality"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -375,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _fingerprints,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
         "embedding_near_dups": _embedding_near_dups,
+        "curate_documents": _curate_documents,
     }
 
 

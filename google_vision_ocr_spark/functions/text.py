@@ -74,7 +74,8 @@ def quality_features(text: str) -> tuple[int, int, float, float, float]:
 
 
 def quality_score(text: str) -> float:
-    """Scalar quality in [0, 1]: length + punctuation + stopword evidence."""
+    """Scalar quality in [0, 1]: length + shape + punctuation + stopword
+    evidence, damped by the alphanumeric ratio (symbol-soup ⇒ ~0)."""
     n_chars, n_tokens, mean_len, punct_ratio, stop_ratio = quality_features(text)
     if n_tokens == 0:
         return 0.0
@@ -82,7 +83,10 @@ def quality_score(text: str) -> float:
     shape_term = 1.0 if 2.0 <= mean_len <= 12.0 else 0.5
     punct_term = 1.0 if punct_ratio <= 0.2 else 0.5
     stop_term = min(stop_ratio / 0.2, 1.0)
-    return round(0.4 * length_term + 0.2 * shape_term + 0.2 * punct_term + 0.2 * stop_term, 6)
+    base = 0.4 * length_term + 0.2 * shape_term + 0.2 * punct_term + 0.2 * stop_term
+    non_space = sum(1 for c in text if not c.isspace())
+    alpha_ratio = (sum(1 for c in text if c.isalnum()) / non_space) if non_space else 0.0
+    return round(base * min(2.0 * alpha_ratio, 1.0), 6)
 
 
 # --- token counting ---------------------------------------------------------

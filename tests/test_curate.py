@@ -1,0 +1,63 @@
+"""Curation pipeline: gates, dedup funnel, counters."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from google_vision_ocr_spark import formats
+
+
+@pytest.fixture(scope="module")
+def curation_input(spark, tmp_path_factory):
+    """Pages table with planted exact dups, near dups, and junk."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and the cat watches "
+        "from the windowsill while birds sing in the garden near the old "
+        "river bank under a warm summer sun with gentle wind in the trees"
+    )
+    near = good.replace("summer", "winter")
+    junk = "@@ ## $$ %% ^^"
+    rows = []
+    for i, text in enumerate([good, good, near, junk, "tiny", good + " extra tail words here"]):
+        rows.append((f"u{i:02d}", formats.encode_spdf([text])))
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([None] * len(rows), pa.timestamp("us", tz="UTC")),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+        "text": pa.array([None] * len(rows), pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+    })
+    p = tmp_path_factory.mktemp("curate") / "pages.parquet"
+    pq.write_table(t, str(p))
+    return str(p)
+
+
+def test_curation_funnel(spark, curation_input):
+    from google_vision_ocr_spark.plans.curate import curate, curation_report
+
+    pages = spark.read.parquet(curation_input)
+    curated, obs = curate(
+        pages, min_quality=0.3, min_tokens=5,
+        allowed_langs=("en",), near_dup_jaccard=0.5,
+    )
+    report = curation_report(curated, obs)
+    kept = {r["url"] for r in curated.collect()}
+
+    assert report["docs_in"] == 6
+    assert report["pass_quality"] == 4          # junk + tiny rejected
+    assert report["pass_lang"] == 4
+    # u00/u01 identical -> min url u00 kept; u02 near-dup of u00 dropped;
+    # u05 (extra tail) survives near-dup at jaccard 0.5? it shares most
+    # shingles with u00 -> est_jaccard high -> dropped too
+    assert "u00" in kept and "u01" not in kept and "u02" not in kept
+    assert report["docs_out"] == len(kept)
+    assert report["tokens_out"] > 0 and report["bytes_out"] > 0
+
+
+def test_curation_deterministic(spark, curation_input):
+    from google_vision_ocr_spark.plans.curate import curate
+
+    pages = spark.read.parquet(curation_input)
+    a = {r["url"] for r in curate(pages, allowed_langs=("en",))[0].collect()}
+    b = {r["url"] for r in curate(pages.repartition(5), allowed_langs=("en",))[0].collect()}
+    assert a == b  # partitioning-invariant
