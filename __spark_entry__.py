@@ -35,7 +35,8 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_vision_ocr_spark.sources.documents import documents_to_pages
 
     pages = documents_to_pages(_t(spark, sf_dir, "documents"))
-    out = extract_fused(pages, salt_partitions=32)
+    # document-unit parallelism; no payload pre-shuffle (pages/doc <= 8)
+    out = extract_fused(pages)
     return out.select("url", "text", F.col("n_pages").cast("int").alias("n_pages"))
 
 

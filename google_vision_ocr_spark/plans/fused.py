@@ -6,21 +6,28 @@ to test, but each of its five branches re-scans the input table — at
 ``html`` payload column) by 5.  This fused plan restructures the same
 semantics into the minimal physical shape:
 
-1. ``scan_items``   — one ``mapInPandas`` pass over the single scan:
-   classify by magic bytes, rasterize+explode PDF pages, normalize
-   image formats (T3), strip HTML (T11), pass text through.  Output is
-   the unified page-item stream ``(url, page, kind, image, text)``.
-2. salted repartition on ``(url, page)`` — the only pre-recognition
-   shuffle; spreads a skewed multi-hundred-page document across the
-   cluster (BASELINE.json north_star).
-3. ``recognize_items`` — ``mapInPandas``: grayscale+PNG (PDF pages
-   only — the reference's folder path skips preprocessing,
+Default shape (``extract_fused``): ``process_items`` — ONE
+``mapInArrow`` stage fusing classify → rasterize → preprocess →
+recognize — followed by the ``groupBy(url)`` assembly: 1 scan,
+1 shuffle (of extracted text only).
+
+Staged shape (``page_level_salt=True``) for pathological page-count
+skew:
+
+1. ``scan_items``   — ``mapInArrow``: classify by magic bytes,
+   rasterize+explode PDF pages, normalize image formats (T3), strip
+   HTML (T11), pass text through → ``(url, page, kind, image, text)``.
+2. salted repartition on ``(url, page)`` — spreads one enormous
+   document's pages across the cluster (BASELINE.json north_star),
+   at the cost of shuffling raster bytes.
+3. ``recognize_items`` — grayscale+PNG (PDF pages only — the
+   reference's folder path skips preprocessing,
    ``ocr_service.py:173-174``) then recognition with rate limiting,
    retries and error-as-data.
-4. ``assemble_docs`` — one ``groupBy(url)`` (the second shuffle):
-   per-kind finishing — PDF docs get the ordered framed concat + byte
-   spans (``ocr_service.py:116,119-122``), single-item kinds pass
-   their text through.
+4. ``assemble_docs`` — one ``groupBy(url)``: per-kind finishing — PDF
+   docs get the ordered framed concat + byte spans
+   (``ocr_service.py:116,119-122``), single-item kinds pass their text
+   through.
 
 Byte-identical to the oracle and to the branched plan (asserted in
 tests); the branched plan remains for per-operator testing and for
@@ -31,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,13 +52,21 @@ from ..recognizers import RecognitionError, get_recognizer
 
 ITEM_SCHEMA = "url string, page int, kind string, image binary, text string"
 RECOGNIZED_SCHEMA = "url string, page int, kind string, text string, ocr_error boolean"
+_ITEM_SCHEMA_PA = pa.schema([
+    ("url", pa.string()), ("page", pa.int32()), ("kind", pa.string()),
+    ("image", pa.binary()), ("text", pa.string()),
+])
+_RECOGNIZED_SCHEMA_PA = pa.schema([
+    ("url", pa.string()), ("page", pa.int32()), ("kind", pa.string()),
+    ("text", pa.string()), ("ocr_error", pa.bool_()),
+])
 _CHUNK_ROWS = 256
 
 
 def scan_items(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Single-pass classify + rasterize + normalize + HTML strip."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         buf: dict[str, list] = {"url": [], "page": [], "kind": [], "image": [], "text": []}
 
         def push(url, page, kind, image, text):
@@ -62,14 +77,14 @@ def scan_items(df: DataFrame, payload_col: str = "html") -> DataFrame:
             buf["text"].append(text)
 
         def flush():
-            out = pd.DataFrame(buf)
+            out = pa.RecordBatch.from_pydict(buf, schema=_ITEM_SCHEMA_PA)
             for k in buf:
                 buf[k] = []
             return out
 
-        for pdf in batches:
-            for url, payload, text in zip(pdf["url"], pdf[payload_col], pdf["text"]):
-                payload = bytes(payload) if payload is not None else None
+        for rb in batches:
+            cols = {name: rb.column(i).to_pylist() for i, name in enumerate(rb.schema.names)}
+            for url, payload, text in zip(cols["url"], cols[payload_col], cols["text"]):
                 fmt = formats.sniff_format(payload)
                 if fmt == "SPDF":
                     try:
@@ -100,7 +115,7 @@ def scan_items(df: DataFrame, payload_col: str = "html") -> DataFrame:
         if buf["url"]:
             yield flush()
 
-    return df.select("url", payload_col, "text").mapInPandas(gen, ITEM_SCHEMA)
+    return df.select("url", payload_col, "text").mapInArrow(gen, ITEM_SCHEMA)
 
 
 def recognize_items(
@@ -116,7 +131,7 @@ def recognize_items(
     """Preprocess (PDF pages only) + recognize; everything else passes."""
     import time as _time
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         engine = get_recognizer(recognizer)
         bucket = TokenBucket(rate_limit_qps) if rate_limit_qps else None
 
@@ -135,11 +150,12 @@ def recognize_items(
                         return f"OCR Error for ID {item_id}: {exc}", True
                     _time.sleep(backoff_base_s * (2 ** (attempt - 1)))
 
-        for pdf in batches:
+        for rb in batches:
+            cols = {name: rb.column(i).to_pylist() for i, name in enumerate(rb.schema.names)}
             texts: list[str | None] = []
             errors: list[bool] = []
             for url, page, kind, image, text in zip(
-                pdf["url"], pdf["page"], pdf["kind"], pdf["image"], pdf["text"]
+                cols["url"], cols["page"], cols["kind"], cols["image"], cols["text"]
             ):
                 if kind == "pdf":
                     if image is None:
@@ -167,12 +183,13 @@ def recognize_items(
                 else:  # html / text: already extracted
                     texts.append(text)
                     errors.append(False)
-            out = pdf[["url", "page", "kind"]].copy()
-            out["text"] = texts
-            out["ocr_error"] = errors
-            yield out
+            yield pa.RecordBatch.from_pydict(
+                {"url": cols["url"], "page": cols["page"], "kind": cols["kind"],
+                 "text": texts, "ocr_error": errors},
+                schema=_RECOGNIZED_SCHEMA_PA,
+            )
 
-    return items.mapInPandas(run, RECOGNIZED_SCHEMA)
+    return items.mapInArrow(run, RECOGNIZED_SCHEMA)
 
 
 def assemble_docs(recognized: DataFrame) -> DataFrame:
@@ -233,13 +250,6 @@ def process_items(
     """
     import time as _time
 
-    import pyarrow as pa
-
-    out_schema_pa = pa.schema([
-        ("url", pa.string()), ("page", pa.int32()), ("kind", pa.string()),
-        ("text", pa.string()), ("ocr_error", pa.bool_()),
-    ])
-
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         engine = get_recognizer(recognizer)
         bucket = TokenBucket(rate_limit_qps) if rate_limit_qps else None
@@ -279,7 +289,7 @@ def process_items(
             buf["ocr_error"].append(err)
 
         def flush():
-            out = pa.RecordBatch.from_pydict(buf, schema=out_schema_pa)
+            out = pa.RecordBatch.from_pydict(buf, schema=_RECOGNIZED_SCHEMA_PA)
             for k in buf:
                 buf[k] = []
             return out

@@ -69,3 +69,26 @@ def test_fused_extract_has_single_source_scan(spark, fixture_dir):
     # the branched plan re-scans the payload per branch; fused must not
     assert fused_plan.count("Scan parquet") == 1
     assert branched_plan.count("Scan parquet") >= 4
+
+
+def test_fused_python_stage_is_arrow_native(spark, fixture_dir):
+    from google_vision_ocr_spark.plans.fused import extract_fused
+
+    df = spark.read.parquet(fixture_dir["pages"])
+    plan = _plan(extract_fused(df))
+    # the fused stage must run as MapInArrow (pandas boxing of binary
+    # payloads measured 3x slower), and there must be no other Python
+    # eval in the plan
+    assert "MapInArrow" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_on_empty_input(spark):
+    from google_vision_ocr_spark.plans.extract import extract
+    from google_vision_ocr_spark.plans.fused import extract_fused
+
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    assert extract_fused(empty).count() == 0
+    assert extract(empty).count() == 0
