@@ -1,1 +1,1 @@
-from . import html, text  # noqa: F401
+from . import html, paths, text  # noqa: F401

@@ -132,14 +132,23 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 3,
     seed: int = 42,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a, id_b, est_jaccard)``.
 
     est_jaccard = fraction of matching MinHash components; pairs are
     produced once (id_a < id_b) and deduped across bands.
+
+    At scale, pass ``signatures`` (a materialized
+    :func:`minhash_signatures` table) — the self-join otherwise
+    recomputes the signature UDF once per join side, doubling the most
+    expensive stage.  Locally Catalyst keeps both sides as one scan
+    lineage, so the default is fine for tests.
     """
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_perm, k, seed)
+    sigs = signatures if signatures is not None else minhash_signatures(
+        df, id_col, text_col, n_perm, k, seed
+    )
     banded = sigs.select(
         F.col(id_col),
         F.col("minhash"),

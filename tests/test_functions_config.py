@@ -67,3 +67,24 @@ def test_config_precedence(tmp_path):
         del os.environ["GVOS_MAX_RETRIES"], os.environ["GVOS_OTSU"]
     kw = cfg.extract_kwargs()
     assert kw["rate_limit_qps"] is None and kw["otsu"] is True
+
+
+def test_parse_illustration_pages():
+    from google_vision_ocr_spark.functions.paths import parse_illustration_pages
+
+    assert parse_illustration_pages("1,5,10") == [1, 5, 10]
+    assert parse_illustration_pages(" 3 , x, 1, 3,") == [1, 3]
+    assert parse_illustration_pages("") == []
+    assert parse_illustration_pages(None) == []
+
+
+def test_normalize_path_col(spark):
+    from pyspark.sql import functions as F
+
+    from google_vision_ocr_spark.functions.paths import normalize_path_col
+
+    df = spark.createDataFrame(
+        [("https://a//b///c/./d/",), ("/x/y/.",), ("plain",)], ["p"]
+    )
+    got = [r["n"] for r in df.select(normalize_path_col(F.col("p")).alias("n")).collect()]
+    assert got == ["https://a/b/c/d", "/x/y", "plain"]
