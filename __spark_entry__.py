@@ -10,10 +10,15 @@ sorting columns by name).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import pandas as pd  # noqa: F401  (needed to resolve pandas-UDF type hints)
 from pyspark.sql import DataFrame, SparkSession
+
+# make the sibling package importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
