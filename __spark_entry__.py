@@ -349,6 +349,17 @@ def _embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
 
 
+def _events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator in streaming/sessions.py)."""
+    from google_vision_ocr_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events")).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def _curate_documents(spark, sf_dir):
     """End-to-end curation funnel (extract -> quality/lang gates ->
     exact + near dedup) over the documents-derived pages table."""
@@ -393,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _fingerprints,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
         "embedding_near_dups": _embedding_near_dups,
+        "events_sessionize": _events_sessionize,
         "curate_documents": _curate_documents,
     }
 
@@ -561,6 +573,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]')) AS bigint) AS bpe_tokens
             FROM documents
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts), 1, epoch(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sid AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sid GROUP BY user_id, session_id
         """,
         # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash, lang_id_heuristic,
         # quality_scores, doc_fingerprints, lsh_bucket_histogram,
