@@ -49,6 +49,13 @@ def rasterize_pdf_pages(df: DataFrame, payload_col: str = "html") -> DataFrame:
                     pages.append(1)
                     images.append(None)
                     continue
+                if not page_texts:
+                    # zero-page doc marker (page=0): reference writes an
+                    # empty .txt — the url must survive to the output
+                    urls.append(url)
+                    pages.append(0)
+                    images.append(None)
+                    continue
                 for page_no, text in enumerate(page_texts, start=1):
                     urls.append(url)
                     pages.append(page_no)

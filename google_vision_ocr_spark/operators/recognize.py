@@ -72,6 +72,8 @@ def recognize_stage(
 
         def recognize_one(payload: bytes | None, item_id) -> tuple[str, bool]:
             if payload is None:
+                if item_id == 0:  # zero-page-document marker (rasterize.py)
+                    return "", False
                 # upstream decode failure (rasterizer fault isolation)
                 return f"OCR Error for ID {item_id}: corrupt document payload", True
             attempt = 0

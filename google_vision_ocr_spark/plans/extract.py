@@ -74,7 +74,18 @@ def extract(
         pages, image_col="image", id_col="page",
         recognizer=recognizer, rate_limit_qps=rate_limit_qps,
     )
-    pdf_out = framed_concat(recognized).withColumn("kind", F.lit("pdf"))
+    pdf_out = framed_concat(recognized.filter(F.col("page") > 0)).withColumn(
+        "kind", F.lit("pdf")
+    )
+    # zero-page documents (page=0 marker): empty text, no frames
+    pdf_empty_out = recognized.filter(F.col("page") == 0).select(
+        "url",
+        F.lit("").alias("text"),
+        F.expr(EMPTY_SPANS).alias("spans"),
+        F.lit(0).alias("n_pages"),
+        F.lit(0).alias("n_errors"),
+        F.lit("pdf").alias("kind"),
+    )
 
     # --- image branch: §3.3, NO preprocess (ocr_service.py:173-174) -------
     img_rows = classified.filter(F.col("kind") == "image").select(
@@ -126,6 +137,7 @@ def extract(
     out_cols = ["url", "kind", "text", "spans", "n_pages", "n_errors"]
     return (
         pdf_out.select(*out_cols)
+        .unionByName(pdf_empty_out.select(*out_cols))
         .unionByName(img_out.select(*out_cols))
         .unionByName(html_out.select(*out_cols))
         .unionByName(text_out.select(*out_cols))

@@ -92,6 +92,12 @@ def scan_items(df: DataFrame, payload_col: str = "html") -> DataFrame:
                     except Exception:
                         push(url, 1, "pdf", None, None)  # error-as-data downstream
                         continue
+                    if not page_texts:
+                        # zero-page document: the reference writes an
+                        # empty .txt (ocr_service.py:119 loop body never
+                        # runs) — emit a marker row, never drop the url
+                        push(url, 0, "pdf0", None, "")
+                        continue
                     for page_no, page_text in enumerate(page_texts, start=1):
                         push(url, page_no, "pdf",
                              formats.encode_simg(formats.render_page_rgb(page_text)), None)
@@ -210,7 +216,7 @@ def assemble_docs(recognized: DataFrame) -> DataFrame:
     )
     return with_framed.select(
         "url",
-        "kind",
+        F.when(F.col("kind") == "pdf0", F.lit("pdf")).otherwise(F.col("kind")).alias("kind"),
         F.when(F.col("kind") == "pdf", F.expr("array_join(framed, '')"))
         .otherwise(F.element_at(F.col("ps"), 1)["text"]).alias("text"),
         F.when(F.col("kind") == "pdf", F.expr(SPANS_FROM_FRAMED))
@@ -306,6 +312,10 @@ def process_items(
                     except Exception:
                         push(url, 1, "pdf",
                              "OCR Error for ID 1: corrupt document payload", True)
+                        continue
+                    if not page_texts:
+                        # zero-page doc: reference writes an empty .txt
+                        push(url, 0, "pdf0", "", False)
                         continue
                     for page_no, page_text in enumerate(page_texts, start=1):
                         t, e = recognize_pdf_page(page_text, page_no)

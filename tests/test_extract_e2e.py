@@ -105,3 +105,35 @@ def test_corrupt_spdf_is_error_as_data(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["text"] == exp.text
     assert got[0]["n_errors"] == exp.n_errors == 1
+
+
+def test_zero_page_document_survives(spark, tmp_path):
+    """A zero-page SPDF yields an empty-text row (the reference writes
+    an empty .txt), never a dropped url — in BOTH plans."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from google_vision_ocr_spark import formats
+    from google_vision_ocr_spark.plans.fused import extract_fused
+
+    payload = formats.encode_spdf([])
+    t = pa.table({
+        "url": ["u:empty"],
+        "warc_ts": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([payload], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": ["en"],
+    })
+    p = str(tmp_path / "zero.parquet")
+    pq_.write_table(t, p)
+    exp = oracle.extract_row({"url": "u:empty", "html": payload, "text": None})
+    assert exp.text == "" and exp.n_pages == 0 and exp.kind == "pdf"
+    for plan in (extract_fused, extract):
+        got = plan(spark.read.parquet(p)).collect()
+        assert len(got) == 1, plan.__name__
+        r = got[0]
+        assert (r["url"], r["kind"], r["text"], r["n_pages"], r["n_errors"]) == \
+               ("u:empty", "pdf", "", 0, 0), plan.__name__
+        assert list(r["spans"]) == []
