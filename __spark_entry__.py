@@ -349,6 +349,23 @@ def _embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
 
 
+def _ngram_jaccard(spark, sf_dir):
+    """Exact word-3-shingle Jaccard near-dup pairs (the verification
+    baseline for the MinHash family; SURVEY.md §2 dedup extensions)."""
+    from google_vision_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _embedding_near_dups_exact(spark, sf_dir):
+    """Brute-force cosine near-dup pairs — the exact baseline the LSH
+    variant approximates; fully JVM-side (zip_with/aggregate)."""
+    from google_vision_ocr_spark.operators.similarity import cosine_pairs_bruteforce
+
+    return cosine_pairs_bruteforce(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def _events_sessionize(spark, sf_dir):
     """Gap-based sessionization (batch twin of the stateful streaming
     operator in streaming/sessions.py)."""
@@ -397,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_cosine": _ann_lsh,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
+        "dedup_ngram_jaccard": _ngram_jaccard,
+        "embedding_near_dups_exact": _embedding_near_dups_exact,
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -407,6 +426,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "curate_documents": _curate_documents,
     }
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB mirror of functions/text.py::lang_id (n-gram counts via
+    non-overlapping replace, first-wins argmax, kana/CJK short-circuit)."""
+    profiles = {
+        "en": (" th", "the", " an", "and", "ing", " of", "ion", " to"),
+        "de": ("der", "die", "und", "ein", "sch", " de", "ich", "cht"),
+        "es": (" de", "os ", " la", "ión", "ent", " el", "que", "ado"),
+        "fr": (" de", "es ", " le", "ent", "que", " la", "ion", "ait"),
+    }
+
+    def cnt(g: str) -> str:
+        return f"(length(t)-length(replace(t,'{g}','')))/3"
+
+    scores = ",\n                   ".join(
+        f"{' + '.join(cnt(g) for g in grams)} AS s_{lang}"
+        for lang, grams in profiles.items()
+    )
+    return f"""
+            WITH s AS (
+                SELECT doc_id, lang, lower(substr(coalesce(text,''),1,4000)) AS t
+                FROM documents
+            ), sc AS (
+                SELECT doc_id, lang, t,
+                   {scores}
+                FROM s
+            )
+            SELECT doc_id, lang,
+              CASE
+                WHEN t = '' THEN 'und'
+                WHEN regexp_matches(t, '[぀-ヿ]') THEN 'jp'
+                WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
+                WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+            FROM sc
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -568,6 +627,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "lang_id_heuristic": _lang_id_oracle(),
+        # exact word-3-shingle Jaccard; Spark side hashes shingles
+        # (64-bit keyed blake2b — injective at this scale) so distinct
+        # counts and the Jaccard ratio are identical to the string form
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n, b.n
+            HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+        """,
+        "embedding_near_dups_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
         "text_tokens_bpe": r"""
             SELECT doc_id,
                    cast(len(regexp_extract_all(text,
@@ -591,8 +682,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sid GROUP BY user_id, session_id
         """,
-        # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash, lang_id_heuristic,
-        # quality_scores, doc_fingerprints, lsh_bucket_histogram,
-        # embedding_near_dups: python-defined semantics (seeded hashes /
-        # heuristics), not ANSI-SQL-expressible -> rows-only checks.
+        # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash, quality_scores,
+        # doc_fingerprints, lsh_bucket_histogram, embedding_near_dups,
+        # curate_documents: python-defined semantics (seeded hashes /
+        # heuristics) -> rows-only checks; their exact baselines
+        # (dedup_ngram_jaccard, embedding_near_dups_exact,
+        # ann_bruteforce_cosine) ARE oracle-checked above.
     }

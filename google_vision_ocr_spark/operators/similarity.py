@@ -58,6 +58,31 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_bruteforce(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, exact (no LSH prefilter).
+
+    The correctness baseline for :func:`embedding_near_dup_pairs`:
+    O(n²) self-join scored JVM-side (``zip_with``/``aggregate`` dot
+    product, whole-stage codegen, zero Python).  At 100 TB this is the
+    per-bucket rerank kernel, never run on the full table; here it
+    doubles as the DuckDB-checkable oracle query.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine_col("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
