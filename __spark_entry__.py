@@ -428,43 +428,203 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _lang_id_oracle() -> str:
-    """DuckDB mirror of functions/text.py::lang_id (n-gram counts via
-    non-overlapping replace, first-wins argmax, kana/CJK short-circuit)."""
-    profiles = {
-        "en": (" th", "the", " an", "and", "ing", " of", "ion", " to"),
-        "de": ("der", "die", "und", "ein", "sch", " de", "ich", "cht"),
-        "es": (" de", "os ", " la", "ión", "ent", " el", "que", "ado"),
-        "fr": (" de", "es ", " le", "ent", "que", " la", "ion", "ait"),
-    }
+# --- DuckDB mirrors of the Python text heuristics -------------------------
+# (functions/text.py::lang_id / quality_score / rolling_fingerprint; each
+# verified exactly equal to the Python implementation on the testdata)
 
-    def cnt(g: str) -> str:
-        return f"(length(t)-length(replace(t,'{g}','')))/3"
-
-    scores = ",\n                   ".join(
-        f"{' + '.join(cnt(g) for g in grams)} AS s_{lang}"
-        for lang, grams in profiles.items()
+_LANG_PROFILES = {
+    "en": (" th", "the", " an", "and", "ing", " of", "ion", " to"),
+    "de": ("der", "die", "und", "ein", "sch", " de", "ich", "cht"),
+    "es": (" de", "os ", " la", "ión", "ent", " el", "que", "ado"),
+    "fr": (" de", "es ", " le", "ent", "que", " la", "ion", "ait"),
+}
+_STOPLIST_SQL = ", ".join(
+    f"'{s}'" for s in (
+        "the a an and or of to in is are was were be on for with as at by it "
+        "this that from not have has had but they you he she we i".split()
     )
+)
+# '' escapes the apostrophe inside a SQL string literal
+_PUNCT_CLASS_SQL = "[.,!?;:''\"()\\[\\]{}\\-]"
+_TRIM_CHARS_SQL = "$punct$.,!?;:'\"()[]{}-$punct$"
+
+
+def _lang_scores_sql(col: str) -> str:
+    """Per-language n-gram scores over lowered text column ``col``
+    (non-overlapping replace-count == str.count for 3-char grams)."""
+    def cnt(g: str) -> str:
+        return f"(length({col})-length(replace({col},'{g}','')))/3"
+
+    return ",\n                   ".join(
+        f"{' + '.join(cnt(g) for g in grams)} AS s_{lang}"
+        for lang, grams in _LANG_PROFILES.items()
+    )
+
+
+# first-wins argmax over (en, de, es, fr), kana/CJK short-circuit
+_LANG_CASE_SQL = """
+              CASE
+                WHEN {t} = '' THEN 'und'
+                WHEN regexp_matches({t}, '[぀-ヿ]') THEN 'jp'
+                WHEN regexp_matches({t}, '[一-鿿]') THEN 'zh'
+                WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END"""
+
+# quality_score formula over the feature columns produced by
+# _quality_feature_sql (weights/thresholds per functions/text.py:76-89)
+_QUALITY_CASE_SQL = """
+              CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                round(
+                  (0.4 * least(n_chars/500.0, 1.0)
+                   + 0.2 * (CASE WHEN mean_len BETWEEN 2.0 AND 12.0
+                            THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * (CASE WHEN punct * 1.0 / n_chars <= 0.2
+                            THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * least((stop*1.0/n_tokens) / 0.2, 1.0))
+                  * least(2.0 * (CASE WHEN non_space > 0
+                                 THEN alnum*1.0/non_space ELSE 0.0 END), 1.0)
+                , 6) END"""
+
+
+def _quality_feature_sql(t: str) -> str:
+    """Feature columns (n_chars, toks, punct, non_space, alnum) over a
+    text expression ``t``; mirror of functions/text.py::quality_features."""
+    return f"""
+                length({t}) AS n_chars,
+                regexp_extract_all({t}, '\\S+') AS toks,
+                length({t}) - length(regexp_replace({t}, '{_PUNCT_CLASS_SQL}', '', 'g')) AS punct,
+                length(regexp_replace({t}, '\\s', '', 'g')) AS non_space,
+                length({t}) - length(regexp_replace({t}, '[\\pL\\pN]', '', 'g')) AS alnum"""
+
+
+_TOKEN_STATS_SQL = f"""
+                len(toks) AS n_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                     ELSE 0.0 END AS mean_len,
+                len(list_filter(toks, x -> list_contains([{_STOPLIST_SQL}],
+                    trim(lower(x), {_TRIM_CHARS_SQL})))) AS stop"""
+
+
+def _lang_id_oracle() -> str:
     return f"""
             WITH s AS (
                 SELECT doc_id, lang, lower(substr(coalesce(text,''),1,4000)) AS t
                 FROM documents
             ), sc AS (
                 SELECT doc_id, lang, t,
-                   {scores}
+                   {_lang_scores_sql('t')}
                 FROM s
             )
             SELECT doc_id, lang,
-              CASE
-                WHEN t = '' THEN 'und'
-                WHEN regexp_matches(t, '[぀-ヿ]') THEN 'jp'
-                WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
-                WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
-                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-                WHEN s_es >= s_fr THEN 'es'
-                ELSE 'fr' END AS lang_guess
+              {_LANG_CASE_SQL.format(t='t')} AS lang_guess
             FROM sc
+        """
+
+
+def _quality_oracle() -> str:
+    return f"""
+            WITH d AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+            feat AS (
+                SELECT doc_id, {_quality_feature_sql('t')}
+                FROM d
+            ), f2 AS (
+                SELECT doc_id, n_chars, punct, non_space, alnum,
+                {_TOKEN_STATS_SQL}
+                FROM feat
+            )
+            SELECT doc_id, {_QUALITY_CASE_SQL} AS quality
+            FROM f2
+        """
+
+
+def _fingerprint_oracle() -> str:
+    """Polynomial rolling hash over UTF-8 bytes, mod 2^64, folded with
+    HUGEINT arithmetic (bytes recovered from the hex-encoded blob)."""
+    return """
+            WITH d AS (SELECT doc_id, hex(encode(coalesce(text,''))) AS hx
+                       FROM documents),
+            b AS (
+                SELECT doc_id,
+                    list_transform(generate_series(1, length(hx)//2),
+                      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+                              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1) AS HUGEINT)) AS bytes
+                FROM d
+            )
+            SELECT doc_id,
+              lower(lpad(hex(CAST(list_reduce(
+                  list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+                  (h, x) -> (h * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT)
+              ) AS UBIGINT)), 16, '0')) AS fingerprint
+            FROM b
+        """
+
+
+def _curate_oracle() -> str:
+    """The whole curation funnel in SQL: extraction (framed 500-char
+    chunks) → frame-strip → metrics → quality/token gates → exact dedup
+    (min url per text) → near-dup removal.  Near-dups use exact shingle
+    Jaccard >= 0.8 where Spark uses the 64-perm MinHash estimate; on the
+    planted near-dups (true J ~ 0.97) the two are identical."""
+    return f"""
+            WITH pages AS (
+                SELECT source, doc_id, text AS orig,
+                       unnest(generate_series(
+                           1, greatest(1, cast(ceil(length(text)/500.0) AS bigint)))) AS p
+                FROM documents
+            ), extracted AS (
+                SELECT 'doc://' || source || '/' || doc_id AS url,
+                       string_agg(chr(10) || '--- Page ' || p || ' ---' || chr(10)
+                                  || substr(orig,(p-1)*500+1,500) || chr(10) || chr(10),
+                                  '' ORDER BY p) AS text
+                FROM pages GROUP BY 1
+            ), metric AS (
+                SELECT url, text,
+                       regexp_replace(text, chr(10) || '--- Page [0-9]+ ---' || chr(10),
+                                      chr(10), 'g') AS mt
+                FROM extracted
+            ), feat AS (
+                SELECT url, text, lower(substr(mt,1,4000)) AS lt,
+                {_quality_feature_sql('mt')}
+                FROM metric
+            ), f2 AS (
+                SELECT url, text, lt, n_chars, punct, non_space, alnum,
+                       cast(len(toks) AS bigint) AS ws_tokens,
+                {_TOKEN_STATS_SQL},
+                   {_lang_scores_sql('lt')}
+                FROM feat
+            ), scored AS (
+                SELECT url, text, ws_tokens,
+                  {_QUALITY_CASE_SQL} AS quality,
+                  {_LANG_CASE_SQL.format(t='lt')} AS lang_guess
+                FROM f2
+            ), gated AS (
+                SELECT * FROM scored WHERE quality >= 0.2 AND ws_tokens >= 5
+            ), deduped AS (
+                SELECT * FROM gated QUALIFY url = min(url) OVER (PARTITION BY text)
+            ), toks2 AS (
+                SELECT url, list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '') AS w
+                FROM deduped
+            ), sh AS (
+                SELECT url,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks2
+            ), ex AS (SELECT url, unnest(s) AS shingle, len(s) AS n FROM sh
+            ), losers AS (
+                SELECT DISTINCT greatest(a.url, b.url) AS url
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.url < b.url
+                GROUP BY a.url, b.url, a.n, b.n
+                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.8
+            )
+            SELECT url, ws_tokens, lang_guess, round(quality, 4) AS quality
+            FROM deduped WHERE url NOT IN (SELECT url FROM losers)
         """
 
 
@@ -628,6 +788,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "lang_id_heuristic": _lang_id_oracle(),
+        "quality_scores": _quality_oracle(),
+        "doc_fingerprints": _fingerprint_oracle(),
+        "curate_documents": _curate_oracle(),
         # exact word-3-shingle Jaccard; Spark side hashes shingles
         # (64-bit keyed blake2b — injective at this scale) so distinct
         # counts and the Jaccard ratio are identical to the string form
@@ -682,10 +845,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sid GROUP BY user_id, session_id
         """,
-        # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash, quality_scores,
-        # doc_fingerprints, lsh_bucket_histogram, embedding_near_dups,
-        # curate_documents: python-defined semantics (seeded hashes /
-        # heuristics) -> rows-only checks; their exact baselines
-        # (dedup_ngram_jaccard, embedding_near_dups_exact,
-        # ann_bruteforce_cosine) ARE oracle-checked above.
+        # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash,
+        # lsh_bucket_histogram, embedding_near_dups: seeded-hash /
+        # random-hyperplane semantics, not ANSI-SQL-expressible ->
+        # rows-only checks; their exact baselines (dedup_ngram_jaccard,
+        # embedding_near_dups_exact, ann_bruteforce_cosine) ARE
+        # oracle-checked above.
     }
