@@ -263,9 +263,17 @@ def make_shingle_udf(k: int = 3):
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-Jaccard pairs >= threshold via explode + self-join."""
-    sh = df.select(F.col(id_col), make_shingle_udf(k)(F.col(text_col)).alias("sh"))
+                        k: int = 3, threshold: float = 0.5,
+                        shingled: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via explode + self-join.
+
+    At scale, pass ``shingled`` (a materialized ``(id, sh)`` frame from
+    the same shingle UDF) so the self-join doesn't run the UDF once per
+    side — same rationale as ``minhash_lsh_pairs(signatures=...)``.
+    """
+    sh = shingled if shingled is not None else df.select(
+        F.col(id_col), make_shingle_udf(k)(F.col(text_col)).alias("sh")
+    )
     sh = sh.withColumn("n_sh", F.size(F.array_distinct("sh")))
     exploded = sh.select(id_col, "n_sh", F.explode(F.array_distinct("sh")).alias("shingle"))
     a = exploded.select(F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))

@@ -85,3 +85,24 @@ def test_brute_force_cosine_self_consistency(spark):
                                                 "embedding", "label")
     top1 = cosine_topk(e.unionByName(dup), 0, k=1).collect()[0]
     assert top1["vec_id"] == 10000 and top1["cos_sim"] == 1.0
+
+
+def test_cosine_pairs_bruteforce(spark):
+    from google_vision_ocr_spark.operators.similarity import (
+        cosine_pairs_bruteforce,
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an identical vector: the (0, 10000) pair must surface at cos 1.0
+    dup = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    planted = e.unionByName(dup)
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in cosine_pairs_bruteforce(planted, threshold=0.95).collect()}
+    assert exact[(0, 10000)] == 1.0
+    # at a high threshold the LSH prefilter is lossless: same pair set
+    approx = {(r["id_a"], r["id_b"]): r["cos_sim"]
+              for r in embedding_near_dup_pairs(planted, threshold=0.95).collect()}
+    assert approx == exact
