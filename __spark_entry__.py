@@ -254,9 +254,18 @@ def _ann_lsh(spark, sf_dir):
 
 
 def _minhash_pairs(spark, sf_dir):
-    from google_vision_ocr_spark.operators.dedup import minhash_lsh_pairs
+    from google_vision_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    # at-scale pattern: materialize signatures once so the banded
+    # self-join reads the cache instead of running the UDF per side
+    # (the eager count avoids the two join stages racing the cache)
+    sigs = minhash_signatures(d).persist()
+    sigs.count()
+    return minhash_lsh_pairs(d, signatures=sigs)
 
 
 def _simhash_pairs(spark, sf_dir):
