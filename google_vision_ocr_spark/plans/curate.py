@@ -63,6 +63,7 @@ def curate(
     min_tokens: int = 5,
     allowed_langs: tuple[str, ...] | None = None,
     near_dup_jaccard: float = 0.8,
+    materialize: bool = True,
     **extract_kwargs,
 ) -> tuple[DataFrame, Observation]:
     """Returns (curated corpus, observation with per-stage counters).
@@ -71,6 +72,14 @@ def curate(
     DataFrame; counters: docs_extracted is measured on the corpus that
     survived all gates plus per-gate booleans summed (survivors at each
     gate), so one pass yields the whole funnel.
+
+    ``materialize=True`` (default) persists + eagerly evaluates the
+    post-gate deduped corpus: it feeds THREE plan branches (the final
+    anti-join and both sides of the near-dup pair join), so without a
+    cache the extraction UDF stage runs ~3x per action.  The eager pass
+    also resolves the funnel counters.  Pass ``materialize=False`` for
+    a fully lazy plan (e.g. when composing into a larger job that does
+    its own checkpointing).
     """
     docs = extract_fused(pages, **extract_kwargs)
     docs = docs.filter(F.col("n_errors") == 0)
@@ -99,6 +108,9 @@ def curate(
         .select("url")
     )
     deduped = kept.join(keepers, "url", "left_semi")
+    if materialize:
+        deduped = deduped.persist()
+        deduped.count()  # one extraction pass; later branches read cache
 
     # near-dup removal: drop the max-url side of each candidate pair
     pairs = minhash_lsh_pairs(deduped, id_col="url", text_col="text")
