@@ -217,14 +217,23 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3, seed: int = 42) -> DataFrame:
+                       max_hamming: int = 3, seed: int = 42,
+                       materialize: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: band-block then exact hamming filter.
 
     Four 16-bit bands: any pair with hamming distance <= 3 collides on
     at least one band (pigeonhole), so blocking is lossless for the
     threshold while the join only shuffles (band, key16) buckets.
+
+    ``materialize=True`` persists + eagerly evaluates the signature
+    table so the self-join reads the cache instead of running the
+    SimHash UDF once per side — use at scale (same rationale as
+    ``minhash_lsh_pairs(signatures=...)``).
     """
     sigs = simhash_64(df, id_col, text_col, seed)
+    if materialize:
+        sigs = sigs.persist()
+        sigs.count()
     band_structs = F.array(
         *[
             F.struct(

@@ -111,6 +111,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
@@ -119,6 +120,10 @@ def embedding_near_dup_pairs(
     probability), then exact cosine filters.  The join key is
     ``(table, code)`` so only same-bucket rows shuffle — the all-pairs
     O(n²) never materializes.
+
+    ``materialize=True`` persists + eagerly evaluates the unioned
+    (table, code) frame: it feeds both join sides, so without a cache
+    each side recomputes its bucket UDF — use at scale.
     """
     dim = len(embeddings.select(vec_col).first()[0])
     coded = embeddings
@@ -132,6 +137,9 @@ def embedding_near_dup_pairs(
             F.col(id_col), F.col(vec_col),
         )
         tables = part if tables is None else tables.unionByName(part)
+    if materialize:
+        tables = tables.persist()
+        tables.count()
     a = tables.select("table", "code", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"))
     b = tables.select("table", "code", F.col(id_col).alias("id_b"),
