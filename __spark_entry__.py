@@ -690,9 +690,10 @@ def oracle_sql() -> dict[str, str]:
         "a2_merged_chapters": """
             WITH marked AS (
                 SELECT user_id, event_id, event_type, ts,
-                       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS island
                 FROM events
             )
             SELECT user_id, island,
@@ -704,9 +705,10 @@ def oracle_sql() -> dict[str, str]:
         "w1_gaps_islands": """
             WITH marked AS (
                 SELECT user_id, value,
-                       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS island
                 FROM events
             )
             SELECT user_id, island, count(*) AS n_events,
@@ -734,7 +736,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "a3_counts": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY source
         """,

@@ -10,7 +10,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
@@ -39,6 +41,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse dtypes the way the driver's typed hasher sees them: every
+    integer width is one family, but int-vs-float is a mismatch (DuckDB
+    HUGEINT surfaces as float64 and fails the driver's hash even when the
+    values are identical — the r1 a2/w1/a3 bug)."""
+    k = s.dtype.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "m": "timedelta"}.get(k, "object")
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, con, name):
     q = entry_mod.queries()[name]
@@ -46,6 +58,12 @@ def test_query_matches_oracle(spark, con, name):
     duck_pdf = con.execute(entry_mod.oracle_sql()[name]).df()
     assert len(spark_pdf) == len(duck_pdf), f"{name}: row count"
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: columns"
+    for c in spark_pdf.columns:
+        sk, dk = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
+        assert sk == dk, (
+            f"{name}.{c}: typed-hash mismatch — spark {spark_pdf[c].dtype} ({sk}) "
+            f"vs oracle {duck_pdf[c].dtype} ({dk}); CAST the oracle side"
+        )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
                                   rtol=1e-5, atol=1e-8)
