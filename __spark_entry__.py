@@ -250,7 +250,8 @@ def _ann_bruteforce(spark, sf_dir):
 def _ann_lsh(spark, sf_dir):
     from google_vision_ocr_spark.operators.similarity import hyperplane_lsh_topk
 
-    return hyperplane_lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    return hyperplane_lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+                               dim=64)
 
 
 def _minhash_pairs(spark, sf_dir):
@@ -349,13 +350,43 @@ def _fingerprints(spark, sf_dir):
 def _lsh_bucket_histogram(spark, sf_dir):
     from google_vision_ocr_spark.operators.similarity import lsh_bucket_histogram
 
-    return lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"))
+    return lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+# Deterministic near-duplicate planting for the embedding-LSH recall test.
+# The perturbation is pure integer arithmetic promoted to double —
+# 0.002 * (((i+1)*37) % 11 - 5) per component — so Spark and DuckDB
+# compute bit-identical vectors (no libm / transcendental dependence).
+_PLANT_EVERY = 10
+_PLANT_ID_OFFSET = 100_000
+_PLANT_EXPR_SPARK = (
+    "transform(embedding, (x, i) -> cast(x as double)"
+    " + 0.002 * cast(((i + 1) * 37) % 11 - 5 as double))"
+)
 
 
 def _embedding_near_dups(spark, sf_dir):
+    """LSH near-dup pairs over the embeddings table with planted
+    near-duplicates (every 10th vector gets a tiny deterministic
+    perturbation copy, cosine ≈ 0.999).  Oracled against the exact
+    O(n²) cosine SQL: if the banded LSH misses even one planted pair
+    (recall < 1.0) or admits a sub-threshold pair, the driver's hash
+    check fails — this replaces the r1 entry that was vacuously empty
+    (threshold 0.9 vs testdata max cosine ≈ 0.33)."""
     from google_vision_ocr_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % _PLANT_EVERY == 0).select(
+        (F.col("vec_id") + F.lit(_PLANT_ID_OFFSET)).alias("vec_id"),
+        F.expr(_PLANT_EXPR_SPARK).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        base.unionByName(planted), threshold=0.9, dim=64, materialize=True
+    )
 
 
 def _ngram_jaccard(spark, sf_dir):
@@ -834,6 +865,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """,
+        # exact O(n²) cosine over the same planted frame the Spark LSH
+        # query builds — the LSH result must equal this set exactly
+        # (recall 1.0 on the planted pairs, no sub-threshold admits)
+        "embedding_near_dups": f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), planted AS (
+                SELECT vec_id + {_PLANT_ID_OFFSET} AS vec_id,
+                       list_transform(generate_series(1, len(embedding)),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + 0.002 * ((i * 37) % 11 - 5)) AS v
+                FROM embeddings WHERE vec_id % {_PLANT_EVERY} = 0
+            ), allv AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
         "text_tokens_bpe": r"""
             SELECT doc_id,
                    cast(len(regexp_extract_all(text,
@@ -858,9 +909,10 @@ def oracle_sql() -> dict[str, str]:
             FROM sid GROUP BY user_id, session_id
         """,
         # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash,
-        # lsh_bucket_histogram, embedding_near_dups: seeded-hash /
-        # random-hyperplane semantics, not ANSI-SQL-expressible ->
-        # rows-only checks; their exact baselines (dedup_ngram_jaccard,
-        # embedding_near_dups_exact, ann_bruteforce_cosine) ARE
-        # oracle-checked above.
+        # lsh_bucket_histogram: seeded-hash / random-hyperplane
+        # semantics, not ANSI-SQL-expressible -> rows-only checks;
+        # their exact baselines (dedup_ngram_jaccard,
+        # embedding_near_dups_exact, ann_bruteforce_cosine) and the
+        # planted-recall twin (embedding_near_dups) ARE oracle-checked
+        # above.
     }

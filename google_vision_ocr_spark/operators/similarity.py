@@ -112,6 +112,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     seed: int = 42,
     materialize: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
@@ -124,8 +125,12 @@ def embedding_near_dup_pairs(
     ``materialize=True`` persists + eagerly evaluates the unioned
     (table, code) frame: it feeds both join sides, so without a cache
     each side recomputes its bucket UDF — use at scale.
+
+    Pass ``dim`` to avoid the plan-build-time probe job (a ``.first()``
+    Spark action just to learn the vector width).
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     coded = embeddings
     for t in range(n_tables):
         udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
@@ -160,10 +165,12 @@ def lsh_bucket_histogram(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucket-occupancy histogram of one LSH table — the balance check
     a real deployment watches (hot buckets ⇒ bad pruning)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     udf = make_bucket_udf(dim, n_planes, seed)
     return (
         embeddings.select(udf(F.col(vec_col)).alias("bucket"))
@@ -182,6 +189,7 @@ def hyperplane_lsh_topk(
     n_tables: int = 4,
     hamming_radius: int = 3,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table LSH prefilter + exact rerank.
 
@@ -193,7 +201,8 @@ def hyperplane_lsh_topk(
     a cluster/partition key; the radius probe touches a bounded bucket
     neighborhood instead of the full table.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     with_codes = embeddings
     for t in range(n_tables):
         udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
