@@ -260,11 +260,14 @@ def _minhash_pairs(spark, sf_dir):
         minhash_signatures,
     )
 
+    from google_vision_ocr_spark import cache
+
     d = _t(spark, sf_dir, "documents")
     # at-scale pattern: materialize signatures once so the banded
     # self-join reads the cache instead of running the UDF per side
-    # (the eager count avoids the two join stages racing the cache)
-    sigs = minhash_signatures(d).persist()
+    # (the eager count avoids the two join stages racing the cache);
+    # tracked in the cache registry so bench/session loops can release
+    sigs = cache.track(minhash_signatures(d).persist())
     sigs.count()
     return minhash_lsh_pairs(d, signatures=sigs)
 
@@ -389,6 +392,42 @@ def _embedding_near_dups(spark, sf_dir):
     )
 
 
+def _minhash_containment(spark, sf_dir):
+    """Recall-containment check for the MinHash family: every exact
+    3-shingle-Jaccard pair >= 0.8 must appear in the banded-LSH
+    candidate set.  The oracle is the exact-Jaccard SQL alone, so one
+    LSH recall miss drops a row and fails the driver's hash gate —
+    making the seeded-hash family falsifiable even though the
+    signatures themselves aren't ANSI-SQL-expressible."""
+    from google_vision_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    cands = minhash_lsh_pairs(d).select("id_a", "id_b")
+    return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _simhash_containment(spark, sf_dir):
+    """Same recall-containment pattern for the SimHash blocking family
+    (band-blocked hamming candidates must cover every exact near-dup)."""
+    from google_vision_ocr_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    cands = simhash_candidates(d, max_hamming=10).select("id_a", "id_b")
+    return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _ngram_jaccard(spark, sf_dir):
     """Exact word-3-shingle Jaccard near-dup pairs (the verification
     baseline for the MinHash family; SURVEY.md §2 dedup extensions)."""
@@ -455,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_minhash_containment": _minhash_containment,
+        "dedup_simhash_containment": _simhash_containment,
         "embedding_near_dups_exact": _embedding_near_dups_exact,
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
@@ -668,6 +709,31 @@ def _curate_oracle() -> str:
         """
 
 
+def _exact_jaccard_oracle(threshold: float) -> str:
+    """Exact word-3-shingle Jaccard pairs >= threshold over documents."""
+    return rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n, b.n
+            HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= {threshold}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     frame = (
         "chr(10) || '--- Page ' || {page} || ' ---' || chr(10) || {text} "
@@ -837,27 +903,13 @@ def oracle_sql() -> dict[str, str]:
         # exact word-3-shingle Jaccard; Spark side hashes shingles
         # (64-bit keyed blake2b — injective at this scale) so distinct
         # counts and the Jaccard ratio are identical to the string form
-        "dedup_ngram_jaccard": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\s+'),
-                                   t -> t <> '') AS w
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                  CASE WHEN len(w) = 0 THEN ['']
-                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                       ELSE list_distinct(list_transform(
-                            generate_series(1, len(w)-2),
-                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
-                FROM toks
-            ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) AS jaccard
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id, a.n, b.n
-            HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
-        """,
+        "dedup_ngram_jaccard": _exact_jaccard_oracle(0.5),
+        # containment twins: the Spark queries semi-join the exact
+        # >=0.8 pairs against the MinHash-LSH / SimHash candidate sets,
+        # so the oracle is the exact set alone — a recall miss in
+        # either approximate family drops a row and fails the hash
+        "dedup_minhash_containment": _exact_jaccard_oracle(0.8),
+        "dedup_simhash_containment": _exact_jaccard_oracle(0.8),
         "embedding_near_dups_exact": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -9,7 +9,8 @@ reference's two input modes plus the north rule's HTML branch:
   ``epub_processor.py:41-51``), page counts 1-8 plus one skewed
   multi-hundred-page document per table (BASELINE.json north_star:
   "skewed multi-hundred-page PDFs").
-- ``image`` rows: single grayscale page images in PNG / BMP / GIF-stub
+- ``image`` rows: single grayscale page images in PNG / JPEG / BMP /
+  TIFF / GIF-stub
   formats (reference folder path, ``ocr_service.py:129-196``; the GIF
   rows exercise the keep-format-else-PNG rule at ``ocr_service.py:177``).
 - ``html``  rows: UTF-8 HTML with boilerplate wrapping known content
@@ -68,11 +69,15 @@ def _html_doc(rng: random.Random, main_paras: list[str]) -> bytes:
 
 def _image_payload(rng: random.Random, text: str) -> bytes:
     gray = formats.rgb_to_gray(formats.render_page_rgb(text))
-    fmt = rng.choice(("PNG", "PNG", "BMP", "GIF"))
+    fmt = rng.choice(("PNG", "PNG", "JPEG", "BMP", "TIFF", "GIF"))
     if fmt == "PNG":
         return formats.encode_png(gray)
+    if fmt == "JPEG":
+        return formats.encode_jpeg_gray(gray)
     if fmt == "BMP":
         return formats.encode_bmp_gray(gray)
+    if fmt == "TIFF":
+        return formats.encode_tiff_gray(gray)
     return formats.encode_gif_gray(gray)
 
 
@@ -162,7 +167,8 @@ def generate_illustrations(pages: pa.Table, seed: int = 42) -> pa.Table:
                 if rng.random() < 0.1:
                     urls.append(url)
                     page_nums.append(p)
-        elif formats.sniff_format(payload) in ("PNG", "BMP", "GIF") and rng.random() < 0.1:
+        elif (formats.sniff_format(payload) in ("PNG", "JPEG", "BMP", "TIFF", "GIF")
+              and rng.random() < 0.1):
             urls.append(url)
             page_nums.append(1)
     return pa.table(

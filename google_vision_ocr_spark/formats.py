@@ -20,6 +20,16 @@ pipeline's payloads are deterministic synthetic stand-ins with the same
 - ``GIF``   — a GIF-magic stub the recognizer rejects, so the
   format-normalization rule (keep {PNG,JPEG,BMP,TIFF} else re-encode to
   PNG, ``ocr_service.py:177``) is pinned by tests.
+- ``TIFF``  — a *real* baseline TIFF (little-endian, 8-bit gray,
+  Compression=1, single strip): one of the reference's keep-as-is
+  formats (``ocr_service.py:177``) and accepted by its extension filter
+  (``ocr_service.py:144-147``).  Fully valid — any TIFF reader opens it.
+- ``JPEG``  — a JFIF-framed stand-in (real SOI/APP0/COM/EOI segment
+  structure; the gray raster rides in COM segments because the container
+  has no libjpeg for entropy coding).  Sniffs as JPEG by magic
+  (``\\xFF\\xD8\\xFF``) and passes through the keep-format rule
+  unchanged, exactly as the reference hands JPEG bytes to the Vision
+  client untouched.
 
 Everything here is pure numpy + stdlib and fully deterministic; the
 pure-Python oracle (``oracle.py``) and the Spark pipeline share these
@@ -38,6 +48,9 @@ SIMG_MAGIC = b"SIMG"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 GIF_MAGIC = b"GIF87a"
+JPEG_MAGIC = b"\xff\xd8\xff"
+TIFF_MAGIC_LE = b"II*\x00"
+TIFF_MAGIC_BE = b"MM\x00*"
 
 PAGE_WIDTH = 64  # raster width of synthetic pages
 
@@ -272,6 +285,99 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, offset=10).reshape(h, w).copy()
 
 
+# ---------------------------------------------------------------------------
+# JPEG (JFIF segment structure; gray raster in COM segments — see module doc)
+# ---------------------------------------------------------------------------
+
+_JFIF_APP0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+_COM_CHUNK = 60_000  # segment payload cap (length field is u16, ≤65533)
+
+
+def encode_jpeg_gray(arr: np.ndarray) -> bytes:
+    """Pack an (H, W) gray uint8 array into a JFIF-framed JPEG stand-in."""
+    simg = encode_simg(arr)
+    segs = [b"\xff\xd8", _JFIF_APP0]
+    for off in range(0, len(simg), _COM_CHUNK):
+        chunk = simg[off : off + _COM_CHUNK]
+        segs.append(b"\xff\xfe" + struct.pack(">H", len(chunk) + 2) + chunk)
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    if payload[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    off = 2
+    com: list[bytes] = []
+    while off + 2 <= len(payload):
+        marker = payload[off : off + 2]
+        if marker == b"\xff\xd9":
+            break
+        (ln,) = struct.unpack_from(">H", payload, off + 2)
+        if marker == b"\xff\xfe":
+            com.append(payload[off + 4 : off + 2 + ln])
+        off += 2 + ln
+    arr = decode_simg(b"".join(com))
+    if arr.ndim != 2:
+        raise ValueError("expected grayscale JPEG stand-in")
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# TIFF (real format; baseline little-endian, 8-bit gray, uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def encode_tiff_gray(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    pixel = arr.tobytes()
+    header = TIFF_MAGIC_LE + struct.pack("<I", 8 + len(pixel))  # IFD after pixels
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # type 3 = SHORT, 4 = LONG; LE left-justifies short values in the
+        # 4-byte value field, so packing as <I is correct for both
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, w),            # ImageWidth
+        entry(257, 3, 1, h),            # ImageLength
+        entry(258, 3, 1, 8),            # BitsPerSample
+        entry(259, 3, 1, 1),            # Compression = none
+        entry(262, 3, 1, 1),            # PhotometricInterpretation = BlackIsZero
+        entry(273, 4, 1, 8),            # StripOffsets (pixels start at byte 8)
+        entry(277, 3, 1, 1),            # SamplesPerPixel
+        entry(278, 3, 1, h),            # RowsPerStrip (single strip)
+        entry(279, 4, 1, len(pixel)),   # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    return header + pixel + ifd
+
+
+def decode_tiff_gray(payload: bytes) -> np.ndarray:
+    if payload[:4] == TIFF_MAGIC_LE:
+        e = "<"
+    elif payload[:4] == TIFF_MAGIC_BE:
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    (n,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, int] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, _cnt = struct.unpack_from(e + "HHI", payload, base)
+        if typ == 3:
+            (val,) = struct.unpack_from(e + "H", payload, base + 8)
+        else:
+            (val,) = struct.unpack_from(e + "I", payload, base + 8)
+        tags[tag] = val
+    if tags.get(259, 1) != 1 or tags.get(258, 8) != 8 or tags.get(277, 1) != 1:
+        raise ValueError("unsupported TIFF variant")
+    w, h = tags[256], tags[257]
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=tags[273], count=tags[279])
+    return arr.reshape(h, w).copy()
+
+
 def sniff_format(payload: bytes | None) -> str:
     """Detect a payload's container format by magic bytes."""
     if payload is None:
@@ -286,6 +392,10 @@ def sniff_format(payload: bytes | None) -> str:
         return "GIF"
     if payload[:4] == SIMG_MAGIC:
         return "SIMG"
+    if payload[:3] == JPEG_MAGIC:
+        return "JPEG"
+    if payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
+        return "TIFF"
     if payload[:5].lower() in (b"<!doc", b"<html") or payload[:1] == b"<":
         return "HTML"
     return "UNKNOWN"

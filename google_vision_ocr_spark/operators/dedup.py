@@ -218,30 +218,48 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3, seed: int = 42,
-                       materialize: bool = False) -> DataFrame:
+                       materialize: bool = False,
+                       n_bands: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band-block then exact hamming filter.
 
-    Four 16-bit bands: any pair with hamming distance <= 3 collides on
-    at least one band (pigeonhole), so blocking is lossless for the
-    threshold while the join only shuffles (band, key16) buckets.
+    Blocking is pigeonhole-lossless when ``n_bands > max_hamming``: a
+    pair within the hamming radius has at least one band with zero
+    differing bits, so it collides on that band's exact key.  The
+    default ``n_bands = max_hamming + 1`` guarantees this (the classic
+    Manku et al. WWW'07 configuration is 64-bit / radius 3 / 4×16-bit
+    bands).  More bands ⇒ shorter keys ⇒ hotter buckets: radius 3 gives
+    16-bit keys (65k buckets per band), radius 10 gives ~6-bit keys —
+    fine for verification corpora, too hot for 100 TB, where radius ≤3
+    is the deployable setting.
 
     ``materialize=True`` persists + eagerly evaluates the signature
     table so the self-join reads the cache instead of running the
     SimHash UDF once per side — use at scale (same rationale as
     ``minhash_lsh_pairs(signatures=...)``).
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"blocking is lossy: n_bands={n_bands} must exceed max_hamming={max_hamming}"
+        )
     sigs = simhash_64(df, id_col, text_col, seed)
     if materialize:
-        sigs = sigs.persist()
+        from .. import cache
+
+        sigs = cache.track(sigs.persist())
         sigs.count()
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("key16"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key16"),
             )
-            for i in range(4)
+            for i in range(n_bands)
         ]
     )
     banded = sigs.select(id_col, "simhash", F.explode(band_structs).alias("bk")).select(

@@ -144,7 +144,7 @@ def normalize_image_format_udf(payloads: pd.Series) -> pd.Series:
     def one(payload: bytes) -> bytes:
         payload = bytes(payload)
         fmt = formats.sniff_format(payload)
-        if fmt in ("PNG", "BMP"):
+        if fmt in ("PNG", "JPEG", "BMP", "TIFF"):
             return payload
         if fmt == "GIF":
             return formats.encode_png(formats.decode_gif_gray(payload))

@@ -143,7 +143,9 @@ def embedding_near_dup_pairs(
         )
         tables = part if tables is None else tables.unionByName(part)
     if materialize:
-        tables = tables.persist()
+        from .. import cache
+
+        tables = cache.track(tables.persist())
         tables.count()
     a = tables.select("table", "code", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"))

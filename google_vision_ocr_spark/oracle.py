@@ -131,7 +131,7 @@ def extract_row(row: dict, recognizer=None) -> ExtractResult:
     fmt = formats.sniff_format(payload)
     if fmt == "SPDF":
         return extract_pdf_text(row["url"], payload, recognizer)
-    if fmt in ("PNG", "BMP", "GIF"):
+    if fmt in ("PNG", "JPEG", "BMP", "TIFF", "GIF"):
         return extract_image_text(row["url"], payload, recognizer)
     if fmt == "HTML":
         return extract_html_text(row["url"], payload)

@@ -109,7 +109,9 @@ def curate(
     )
     deduped = kept.join(keepers, "url", "left_semi")
     if materialize:
-        deduped = deduped.persist()
+        from .. import cache
+
+        deduped = cache.track(deduped.persist())
         deduped.count()  # one extraction pass; later branches read cache
 
     # near-dup removal: drop the max-url side of each candidate pair

@@ -39,7 +39,10 @@ def classify_payload(df: DataFrame, payload_col: str = "html") -> DataFrame:
         F.when(p.isNull(), F.lit("text"))
         .when(p.substr(1, 5) == F.lit(formats.SPDF_MAGIC), F.lit("pdf"))
         .when(p.substr(1, 8) == F.lit(formats.PNG_MAGIC), F.lit("image"))
+        .when(p.substr(1, 3) == F.lit(formats.JPEG_MAGIC), F.lit("image"))
         .when(p.substr(1, 2) == F.lit(formats.BMP_MAGIC), F.lit("image"))
+        .when(p.substr(1, 4) == F.lit(formats.TIFF_MAGIC_LE), F.lit("image"))
+        .when(p.substr(1, 4) == F.lit(formats.TIFF_MAGIC_BE), F.lit("image"))
         .when(p.substr(1, 6) == F.lit(formats.GIF_MAGIC), F.lit("image"))
         .when(p.substr(1, 1) == F.lit(b"<"), F.lit("html"))
         .otherwise(F.lit("unknown")),

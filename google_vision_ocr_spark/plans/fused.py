@@ -322,7 +322,9 @@ def process_items(
                         push(url, page_no, "pdf", t, e)
                         if len(buf["url"]) >= _CHUNK_ROWS:
                             yield flush()
-                elif fmt in ("PNG", "BMP", "GIF"):
+                elif fmt in ("PNG", "JPEG", "BMP", "TIFF", "GIF"):
+                    # keep-format rule (ocr_service.py:177): PNG/JPEG/BMP/
+                    # TIFF pass through unchanged; GIF re-encodes to PNG
                     if fmt == "GIF":  # T3 normalize, then recognize as-is
                         try:
                             payload = formats.encode_png(formats.decode_gif_gray(payload))

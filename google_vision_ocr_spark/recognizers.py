@@ -39,6 +39,13 @@ class StubRecognizer:
             return formats.read_text_from_gray(arr)
         if fmt == "BMP":
             return formats.read_text_from_gray(formats.decode_bmp_gray(payload))
+        # JPEG/TIFF arrive untouched via the keep-format rule
+        # (ocr_service.py:177); the Vision client accepts them natively,
+        # so the stub does too.
+        if fmt == "JPEG":
+            return formats.read_text_from_gray(formats.decode_jpeg_gray(payload))
+        if fmt == "TIFF":
+            return formats.read_text_from_gray(formats.decode_tiff_gray(payload))
         raise RecognitionError(f"unsupported recognizer input format: {fmt}")
 
     def batch(self, payloads: list[bytes]) -> list[str]:

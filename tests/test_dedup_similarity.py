@@ -106,3 +106,36 @@ def test_cosine_pairs_bruteforce(spark):
     approx = {(r["id_a"], r["id_b"]): r["cos_sim"]
               for r in embedding_near_dup_pairs(planted, threshold=0.95).collect()}
     assert approx == exact
+
+
+def test_simhash_banding_pigeonhole_lossless(spark):
+    """n_bands = max_hamming + 1 must cover every pair within the radius:
+    the band-blocked candidate set equals the exact O(n^2) hamming filter
+    (on the real testdata documents, whose planted near-dups sit at
+    hamming up to ~8 — the case that exposed the fixed 4x16 blocking)."""
+    from google_vision_ocr_spark.operators.dedup import simhash_64, simhash_candidates
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for radius in (3, 10):
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_candidates(docs_df, max_hamming=radius).collect()
+        }
+        sigs = simhash_64(docs_df)
+        a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+        b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= radius)
+            .collect()
+        }
+        assert cands == exact, f"radius {radius}: blocking lost {exact - cands}"
+
+
+def test_simhash_rejects_lossy_banding(docs):
+    from google_vision_ocr_spark.operators.dedup import simhash_candidates
+
+    with pytest.raises(ValueError, match="lossy"):
+        simhash_candidates(docs, max_hamming=5, n_bands=4)

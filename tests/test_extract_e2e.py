@@ -137,3 +137,23 @@ def test_zero_page_document_survives(spark, tmp_path):
         assert (r["url"], r["kind"], r["text"], r["n_pages"], r["n_errors"]) == \
                ("u:empty", "pdf", "", 0, 0), plan.__name__
         assert list(r["spans"]) == []
+
+
+def test_jpeg_tiff_rows_recognized_not_errored(results, fixture_dir):
+    """The keep-format rule routes JPEG/TIFF payloads to the recognizer
+    unchanged (ocr_service.py:177, extension filter :144-147) — they must
+    yield recognized text, not UNKNOWN-format error rows."""
+    from google_vision_ocr_spark import formats
+
+    got, _ = results
+    rows = pq.read_table(fixture_dir["pages"]).to_pylist()
+    fmt_by_url = {r["url"]: formats.sniff_format(r["html"]) for r in rows}
+    seen = {f: 0 for f in ("JPEG", "TIFF")}
+    for url, fmt in fmt_by_url.items():
+        if fmt in seen:
+            seen[fmt] += 1
+            g = got[url]
+            assert g["kind"] == "image", url
+            assert g["n_errors"] == 0, (url, g["text"][:80])
+            assert g["text"] and not g["text"].startswith("OCR Error"), url
+    assert all(v > 0 for v in seen.values()), f"fixture lacks coverage: {seen}"

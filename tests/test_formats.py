@@ -68,3 +68,39 @@ def test_sniff_format():
 def test_decode_spdf_rejects_garbage():
     with pytest.raises(ValueError):
         formats.decode_spdf(b"not a pdf")
+
+
+def test_jpeg_tiff_roundtrip():
+    gray = formats.rgb_to_gray(formats.render_page_rgb("jpeg/tiff payload"))
+    assert np.array_equal(formats.decode_jpeg_gray(formats.encode_jpeg_gray(gray)), gray)
+    assert np.array_equal(formats.decode_tiff_gray(formats.encode_tiff_gray(gray)), gray)
+
+
+def test_sniff_jpeg_tiff_magics():
+    gray = formats.rgb_to_gray(formats.render_page_rgb("s"))
+    assert formats.sniff_format(formats.encode_jpeg_gray(gray)) == "JPEG"
+    assert formats.sniff_format(formats.encode_tiff_gray(gray)) == "TIFF"
+    # big-endian TIFF magic is sniffed too (we only emit little-endian)
+    assert formats.sniff_format(b"MM\x00*" + b"\x00" * 8) == "TIFF"
+    # a real libjpeg-produced file starts FF D8 FF E0/E1/DB...; any third
+    # byte after FF D8 FF sniffs as JPEG
+    assert formats.sniff_format(b"\xff\xd8\xff\xdb" + b"\x00" * 8) == "JPEG"
+
+
+def test_keep_format_passes_jpeg_tiff_bytes_through_unchanged():
+    """ocr_service.py:177 keeps {PNG,JPEG,BMP,TIFF} as-is — byte identity."""
+    from google_vision_ocr_spark import oracle
+
+    gray = formats.rgb_to_gray(formats.render_page_rgb("keep me"))
+    for enc in (formats.encode_jpeg_gray, formats.encode_tiff_gray):
+        payload = enc(gray)
+        assert oracle.normalize_image_payload(payload) == payload
+
+
+def test_recognizer_reads_jpeg_tiff():
+    from google_vision_ocr_spark.recognizers import StubRecognizer
+
+    gray = formats.rgb_to_gray(formats.render_page_rgb("hello jpeg"))
+    r = StubRecognizer()
+    assert r.recognize(formats.encode_jpeg_gray(gray)) == "hello jpeg"
+    assert r.recognize(formats.encode_tiff_gray(gray)) == "hello jpeg"
