@@ -350,6 +350,36 @@ def _fingerprints(spark, sf_dir):
     return d.select("doc_id", fp_udf(F.col("text")).alias("fingerprint"))
 
 
+def _image_metadata(spark, sf_dir):
+    """Multimodal contract entry: render each document's text into a
+    real grayscale PNG (the engine's own codec), then parse the blob
+    back with the image_metadata operator.  The oracle computes the
+    expected dimensions from first principles — width is the fixed
+    PAGE_WIDTH raster, height is max(8, ceil((utf8_len + 4) / width))
+    from the render layout — so an IHDR mis-parse fails the hash."""
+    import pandas as pd  # noqa: F811
+
+    from google_vision_ocr_spark import formats
+    from google_vision_ocr_spark.operators.multimodal import image_metadata
+
+    @F.pandas_udf("binary")
+    def png_udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda t: formats.encode_png(formats.rgb_to_gray(formats.render_page_rgb(t)))
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = d.select("doc_id", png_udf(F.col("text")).alias("image"))
+    meta = image_metadata(imgs, payload_col="image")
+    return meta.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").cast("bigint").alias("width"),
+        F.col("image_meta.height").cast("bigint").alias("height"),
+        F.col("image_meta.channels").cast("bigint").alias("channels"),
+    )
+
+
 def _lsh_bucket_histogram(spark, sf_dir):
     from google_vision_ocr_spark.operators.similarity import lsh_bucket_histogram
 
@@ -502,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": _tpch_q1,
         "text_tokens_bpe": _text_tokens_bpe,
         "doc_fingerprints": _fingerprints,
+        "image_metadata": _image_metadata,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
         "embedding_near_dups": _embedding_near_dups,
         "events_sessionize": _events_sessionize,
@@ -895,6 +926,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # width = PAGE_WIDTH (64); height = max(8, ceil((4 + utf8 bytes)
+        # / 64)) per formats.render_page_rgb's layout; gray PNG => 1 ch
+        "image_metadata": """
+            SELECT doc_id, 'PNG' AS format,
+                   CAST(64 AS BIGINT) AS width,
+                   CAST(greatest(8, CAST(ceil((octet_length(encode(text)) + 4)
+                        / 64.0) AS BIGINT)) AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS channels
+            FROM documents
         """,
         "lang_id_heuristic": _lang_id_oracle(),
         "quality_scores": _quality_oracle(),

@@ -294,9 +294,17 @@ _COM_CHUNK = 60_000  # segment payload cap (length field is u16, ≤65533)
 
 
 def encode_jpeg_gray(arr: np.ndarray) -> bytes:
-    """Pack an (H, W) gray uint8 array into a JFIF-framed JPEG stand-in."""
+    """Pack an (H, W) gray uint8 array into a JFIF-framed JPEG stand-in.
+
+    Includes a genuine SOF0 (baseline, 8-bit, 1 component) segment with
+    the true dimensions, so header-level readers — including
+    :func:`jpeg_dimensions`, which also works on real libjpeg output —
+    see a structurally correct stream.
+    """
+    h, w = arr.shape
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
     simg = encode_simg(arr)
-    segs = [b"\xff\xd8", _JFIF_APP0]
+    segs = [b"\xff\xd8", _JFIF_APP0, sof0]
     for off in range(0, len(simg), _COM_CHUNK):
         chunk = simg[off : off + _COM_CHUNK]
         segs.append(b"\xff\xfe" + struct.pack(">H", len(chunk) + 2) + chunk)
@@ -321,6 +329,36 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     if arr.ndim != 2:
         raise ValueError("expected grayscale JPEG stand-in")
     return arr
+
+
+_SOF_MARKERS = frozenset(
+    bytes([m]) for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG's SOF segment.
+
+    Pure header scan — no entropy decode — so it reads *real* JPEG files
+    (libjpeg/camera output) as well as this module's stand-ins.
+    """
+    if payload[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    off = 2
+    while off + 4 <= len(payload):
+        if payload[off : off + 1] != b"\xff":
+            raise ValueError("corrupt JPEG segment stream")
+        marker = payload[off + 1 : off + 2]
+        if marker == b"\xd9":  # EOI
+            break
+        if marker == b"\xda":  # SOS: entropy data follows, stop scanning
+            break
+        (ln,) = struct.unpack_from(">H", payload, off + 2)
+        if marker in _SOF_MARKERS:
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, off + 4)
+            return w, h, ncomp
+        off += 2 + ln
+    raise ValueError("no SOF segment found")
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +391,8 @@ def encode_tiff_gray(arr: np.ndarray) -> bytes:
     return header + pixel + ifd
 
 
-def decode_tiff_gray(payload: bytes) -> np.ndarray:
+def _tiff_tags(payload: bytes) -> dict[int, int]:
+    """Parse the first IFD's scalar tags (endian-aware; real-TIFF layout)."""
     if payload[:4] == TIFF_MAGIC_LE:
         e = "<"
     elif payload[:4] == TIFF_MAGIC_BE:
@@ -371,6 +410,18 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         else:
             (val,) = struct.unpack_from(e + "I", payload, base + 8)
         tags[tag] = val
+    return tags
+
+
+def tiff_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, samples-per-pixel) from a TIFF's IFD — header-only
+    scan, valid for any single-IFD TIFF regardless of compression."""
+    tags = _tiff_tags(payload)
+    return tags[256], tags[257], tags.get(277, 1)
+
+
+def decode_tiff_gray(payload: bytes) -> np.ndarray:
+    tags = _tiff_tags(payload)
     if tags.get(259, 1) != 1 or tags.get(258, 8) != 8 or tags.get(277, 1) != 1:
         raise ValueError("unsupported TIFF variant")
     w, h = tags[256], tags[257]

@@ -8,8 +8,9 @@ lacks (libjpeg/ffmpeg/librosa) are stubbed behind
 ``NotImplementedError`` or a clearly-marked deterministic fake:
 
 - :func:`image_metadata` — REAL for the formats this engine owns
-  (PNG/BMP/GIF/SIMG via ``formats.py``): format, width, height,
-  channels, n_bytes.
+  (PNG/BMP/GIF/SIMG via ``formats.py``) plus header-only JPEG (SOF
+  scan, valid for real libjpeg files) and TIFF (IFD scan): format,
+  width, height, channels, n_bytes.
 - :func:`resize_images` — REAL nearest-neighbor resize for owned
   formats (re-encoded as gray PNG).
 - :func:`audio_metadata` / :func:`sample_video_frames` — plumbing-real
@@ -56,8 +57,12 @@ def make_image_metadata_udf():
                     arr = formats.decode_simg(p)
                     h, w = arr.shape[:2]
                     ch = 1 if arr.ndim == 2 else arr.shape[2]
-                elif fmt in ("JPEG",):  # pragma: no cover
-                    raise NotImplementedError("JPEG decode needs libjpeg (not in container)")
+                elif fmt == "JPEG":
+                    # header-only SOF scan: works on real libjpeg output,
+                    # no pixel decode needed for metadata
+                    w, h, ch = formats.jpeg_dimensions(p)
+                elif fmt == "TIFF":
+                    w, h, ch = formats.tiff_dimensions(p)
             except NotImplementedError:
                 raise
             except Exception:
@@ -92,6 +97,18 @@ def make_resize_udf(target_width: int = 32):
                 gray = formats.decode_bmp_gray(p)
             elif fmt == "GIF":
                 gray = formats.decode_gif_gray(p)
+            elif fmt == "TIFF":
+                try:  # real for baseline uncompressed gray; else opaque
+                    gray = formats.decode_tiff_gray(p)
+                except ValueError:
+                    return None
+            elif fmt == "JPEG":
+                try:  # stand-in only: real JPEG pixel decode needs libjpeg
+                    gray = formats.decode_jpeg_gray(p)
+                except Exception:
+                    raise NotImplementedError(
+                        "real JPEG pixel decode requires libjpeg (not in container)"
+                    )
             else:
                 return None
             return formats.encode_png(dpi_normalize(gray, target_width))

@@ -104,3 +104,23 @@ def test_recognizer_reads_jpeg_tiff():
     r = StubRecognizer()
     assert r.recognize(formats.encode_jpeg_gray(gray)) == "hello jpeg"
     assert r.recognize(formats.encode_tiff_gray(gray)) == "hello jpeg"
+
+
+def test_jpeg_tiff_dimension_headers():
+    import struct
+
+    gray = formats.rgb_to_gray(formats.render_page_rgb("dims"))
+    h, w = gray.shape
+    assert formats.jpeg_dimensions(formats.encode_jpeg_gray(gray)) == (w, h, 1)
+    assert formats.tiff_dimensions(formats.encode_tiff_gray(gray)) == (w, h, 1)
+    # a libjpeg-style stream: SOI, APP0, DQT, SOF0(3 components), SOS
+    real = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+        + b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 480, 640, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xda" + struct.pack(">H", 12) + bytes(10)
+    )
+    assert formats.sniff_format(real) == "JPEG"
+    assert formats.jpeg_dimensions(real) == (640, 480, 3)
