@@ -201,7 +201,9 @@ def recognize_items(
 def assemble_docs(recognized: DataFrame) -> DataFrame:
     """One groupBy(url): per-kind finishing to the output contract."""
     grouped = recognized.groupBy("url").agg(
-        F.first("kind").alias("kind"),
+        # max() not first(): every url emits one kind by construction, but
+        # max is deterministic under shuffle order if that ever changes
+        F.max("kind").alias("kind"),
         F.array_sort(
             F.collect_list(F.struct(F.col("page").alias("page"), F.col("text").alias("text")))
         ).alias("ps"),
