@@ -254,6 +254,38 @@ def _ann_lsh(spark, sf_dir):
                                dim=64)
 
 
+def _ann_lsh_planted(spark, sf_dir):
+    """Falsifiable ANN-LSH recall in its design regime: 10 graded
+    near-neighbors of vector 0 are planted (deterministic integer
+    perturbations scaled 0.001·j, cosines ≈0.9997…0.97), so the true
+    top-10 is exactly the planted set.  The oracle is the brute-force
+    cosine SQL over the same derived frame — any LSH retrieval miss
+    changes the result and fails the hash gate.  (The companion
+    ann_lsh_cosine query stays rows-only: on near-orthogonal random
+    vectors at cos≈0.3, partial recall is the honest behavior of
+    hyperplane LSH.)"""
+    from google_vision_ocr_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("j"), "embedding")
+        .select(
+            (F.lit(200000) + F.col("j")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x as double)"
+                " + 0.001 * cast(j as double)"
+                " * cast(((i + 1) * 37) % 11 - 5 as double))"
+            ).alias("embedding"),
+        )
+    )
+    return hyperplane_lsh_topk(base.unionByName(planted), query_id=0, k=10, dim=64)
+
+
 def _minhash_pairs(spark, sf_dir):
     from google_vision_ocr_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -377,6 +409,35 @@ def _image_metadata(spark, sf_dir):
         F.col("image_meta.width").cast("bigint").alias("width"),
         F.col("image_meta.height").cast("bigint").alias("height"),
         F.col("image_meta.channels").cast("bigint").alias("channels"),
+    )
+
+
+def _corpus_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment — a pure
+    function of doc_id (no RNG, no membership table), so the split is
+    reproducible on any cluster size and usable as a scan-level filter."""
+    from google_vision_ocr_spark.operators.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_split(d).select("doc_id", "bucket", "split")
+
+
+def _repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals over a line-structured derivation
+    of the documents (the testdata text is single-line, so line
+    structure is planted deterministically by breaking at spaces —
+    giving every doc a non-trivial duplicate-line profile).  Computed
+    with zero-shuffle JVM higher-order functions."""
+    from google_vision_ocr_spark.operators.quality_rules import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    m = repetition_metrics(d)
+    return m.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
     )
 
 
@@ -521,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "ann_bruteforce_cosine": _ann_bruteforce,
         "ann_lsh_cosine": _ann_lsh,
+        "ann_lsh_planted": _ann_lsh_planted,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
@@ -533,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _text_tokens_bpe,
         "doc_fingerprints": _fingerprints,
         "image_metadata": _image_metadata,
+        "corpus_split": _corpus_split,
+        "repetition_metrics": _repetition_metrics,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
         "embedding_near_dups": _embedding_near_dups,
         "events_sessionize": _events_sessionize,
@@ -912,6 +976,27 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(qe AS DOUBLE[])) DESC, vec_id
             LIMIT 10
         """,
+        # brute-force top-10 over the same planted frame the Spark LSH
+        # query builds; the true top-10 is the planted neighbor set
+        "ann_lsh_planted": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), planted AS (
+                SELECT 200000 + j AS vec_id,
+                       list_transform(generate_series(1, len(embedding)),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + 0.001 * j * ((i * 37) % 11 - 5)) AS v
+                FROM embeddings CROSS JOIN generate_series(1, 10) AS t(j)
+                WHERE vec_id = 0
+            ), allv AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            ), q AS (SELECT v AS qv FROM allv WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+            FROM allv, q
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            LIMIT 10
+        """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -936,6 +1021,48 @@ def oracle_sql() -> dict[str, str]:
                         / 64.0) AS BIGINT)) AS BIGINT) AS height,
                    CAST(1 AS BIGINT) AS channels
             FROM documents
+        """,
+        # md5 hex digits reduced to an int bucket — md5 is md5 in both
+        # engines, so the assignment matches bit-for-bit
+        "corpus_split": """
+            WITH h AS (
+                SELECT doc_id,
+                       list_reduce(list_transform(generate_series(1, 8),
+                           i -> strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+                           (a, b) -> a * 16 + b) % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        "repetition_metrics": """
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(string_split(replace(text, ' ', chr(10)),
+                                                chr(10)), x -> x <> '') AS lines
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, lines,
+                       coalesce(list_sum(list_transform(
+                           list_filter(lines,
+                               x -> len(list_filter(lines, y -> y = x)) > 1),
+                           x -> length(x))), 0) AS dup_chars,
+                       coalesce(list_sum(list_transform(lines,
+                           x -> length(x))), 0) AS total_chars
+                FROM l
+            )
+            SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                   round(CASE WHEN len(lines) > 0
+                              THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+                              ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN total_chars > 0
+                              THEN dup_chars * 1.0 / total_chars
+                              ELSE 0.0 END, 6) AS dup_line_char_frac
+            FROM agg
         """,
         "lang_id_heuristic": _lang_id_oracle(),
         "quality_scores": _quality_oracle(),

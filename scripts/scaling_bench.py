@@ -170,20 +170,24 @@ def main() -> None:
         fixtures.write_pages_parquet(pages_path, n_urls=args.urls, seed=42, skew_pages=400,
                                      min_sentences=40, max_sentences=80, text_pool=4000)
 
-    # every repeat = one paired measurement window: hw control + all
-    # spark levels, adjacent in time, so per-repeat engine-relative
-    # efficiency compares like-with-like under the same VM interference
+    # every (repeat, level) = one paired measurement window: the
+    # hardware control for a level runs IMMEDIATELY before that level's
+    # Spark run, so a neighbor-interference storm that hits one hits
+    # both and the engine-relative ratio stays meaningful.  (Round-2
+    # lesson: a repeat-wide control measured minutes before the Spark
+    # runs pairs nothing — a storm arriving in between inverted the
+    # 2→8 ordering while the control still showed 0.88.)
     repeats: list[dict] = []
     best_levels: dict[int, dict] = {}
     for r in range(args.repeats):
-        print(f"repeat {r + 1}/{args.repeats}: hardware control ...", flush=True)
-        hw = hardware_control(pages_path, core_counts)
-        print("  hw:", hw, flush=True)
+        print(f"repeat {r + 1}/{args.repeats}:", flush=True)
+        hw: dict[int, float] = {}
         levels: dict[int, dict] = {}
         for cores in core_counts:
             time.sleep(args.cooldown)
+            hw[cores] = hardware_control(pages_path, [cores])[cores]
             res = run_level(cores, pages_path)
-            print("  ", res, flush=True)
+            print(f"   hw[{cores}]={hw[cores]} ", res, flush=True)
             levels[cores] = res
             if cores not in best_levels or res["elapsed_s"] < best_levels[cores]["elapsed_s"]:
                 best_levels[cores] = res
@@ -191,9 +195,20 @@ def main() -> None:
         print("  effs:", json.dumps(effs), flush=True)
         repeats.append({"hw": hw, "levels": levels, "pairs": effs})
 
+    # headline efficiencies from best-of-levels: on this shared VM the
+    # interference is episodic (storms of minutes), so the fastest run
+    # per level estimates the uncontended machine; per-repeat pairs are
+    # kept as disclosure (a storm inside one window makes that repeat's
+    # ratio meaningless — values like 1.8 or 0.2 are the storm, not the
+    # engine)
+    best_hw = {c: max(rep["hw"][c] for rep in repeats) for c in core_counts}
+    best_effs = pair_effs(pairs, {c: best_levels[c]["docs_per_s"] for c in core_counts},
+                          best_hw)
     summary = {
         "repeats": repeats,
         "best_levels": best_levels,
+        "best_hw": best_hw,
+        "best_effs": best_effs,
         "band": {},
     }
     band_rows = []
@@ -229,8 +244,14 @@ def main() -> None:
 
     level_rows = "\n".join(
         f"| local[{c}] | {best_levels[c]['elapsed_s']} | {best_levels[c]['docs_per_s']} | "
-        f"{best_levels[c]['pages_per_s']} |"
+        f"{best_levels[c]['pages_per_s']} | {best_hw[c]} |"
         for c in core_counts
+    )
+    best_rows = "\n".join(
+        f"| {k.replace('->', '→')} | {v['spark_scaling_efficiency']:.3f} | "
+        f"{v['hardware_ceiling_efficiency']:.3f} | "
+        f"{v['engine_relative_efficiency']:.3f} |"
+        for k, v in best_effs.items()
     )
     md_dir = os.path.join(REPO, "BENCH")
     os.makedirs(md_dir, exist_ok=True)
@@ -245,17 +266,25 @@ real cluster exists in this sandbox).  Each level runs in its own JVM,
 warmed to JIT steady state (two full-pipeline passes over a 15%
 sample); steady-state best-of-2 per JVM.
 
-## Best-observed absolute throughput (of {args.repeats} repeats)
+## Headline — best-of-levels (uncontended-machine estimate)
 
-| parallelism | elapsed (s) | docs/s | pages/s |
-|---|---|---|---|
+Interference on this VM is episodic (storms of minutes that can slow a
+single run 4×, while other windows are clean), so the fastest run per
+level across {args.repeats} repeats estimates the uncontended machine.
+
+| parallelism | elapsed (s) | docs/s | pages/s | hw-control pages/s* |
+|---|---|---|---|---|
 {level_rows}
 
-## Scaling efficiency — paired repeats
+| pair (N→4N) | spark scaling eff | hardware ceiling eff | engine-relative eff |
+|---|---|---|---|
+{best_rows}
 
-Every repeat runs the hardware control AND all Spark levels adjacent
-in time, so each engine-relative number compares like-with-like under
-the same VM interference window.  hw-control = pure
+## Scaling efficiency — paired repeats (full disclosure)
+
+The hardware control for each level runs immediately before that
+level's Spark run (same interference window), so each engine-relative
+number compares like-with-like.  hw-control = pure
 `multiprocessing.Pool` running the identical per-page kernel
 (rasterize → grayscale → PNG → recognize) with no Spark — the
 silicon's own scaling ceiling on this shared VM, whose cores downclock

@@ -1,0 +1,79 @@
+"""Deterministic splitting + Gopher repetition rules."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def test_deterministic_split_matches_reference_md5(spark):
+    from google_vision_ocr_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in deterministic_split(df).collect()}
+    for i in range(200):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == (b, split), i
+
+
+def test_split_is_partitioning_invariant(spark):
+    from google_vision_ocr_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(df.repartition(1)).collect()}
+    b = {r["doc_id"]: r["split"] for r in deterministic_split(df.repartition(13)).collect()}
+    assert a == b
+    # proportions roughly match the 80/10/10 spec
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 < train / n < 0.9
+
+
+def test_stratified_fraction_deterministic_and_per_stratum(spark):
+    from google_vision_ocr_spark.operators.sampling import stratified_fraction
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    s1 = {r["doc_id"] for r in stratified_fraction(df, pct=10).collect()}
+    s2 = {r["doc_id"] for r in stratified_fraction(df.repartition(7), pct=10).collect()}
+    assert s1 == s2 and 0.04 < len(s1) / 1000 < 0.2
+    # both strata represented
+    langs = {("en" if i % 2 == 0 else "de") for i in s1}
+    assert langs == {"en", "de"}
+
+
+def test_repetition_metrics_known_values(spark):
+    from google_vision_ocr_spark.operators.quality_rules import repetition_metrics
+
+    rows = [
+        (1, "a\nb\nc"),          # no dups
+        (2, "a\na\nb"),          # 'a' twice: dup_line_frac=1/3, chars 2/3
+        (3, "xx\nxx\nxx"),       # all dup
+        (4, ""),                 # empty
+        (5, "one\n\n\ntwo"),     # empty lines ignored
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["dup_line_frac"] == 0.0
+    assert abs(got[2]["dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(got[2]["dup_line_char_frac"] - 2 / 3) < 1e-9
+    assert got[3]["dup_line_frac"] == 1 - 1 / 3 and got[3]["dup_line_char_frac"] == 1.0
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
+    assert got[5]["n_lines"] == 2 and got[5]["dup_line_frac"] == 0.0
+
+
+def test_repetition_gate_drops_repetitive_docs(spark):
+    from google_vision_ocr_spark.operators.quality_rules import repetition_gate
+
+    rows = [(1, "fresh\ncontent\nlines"), (2, "spam\nspam\nspam\nspam")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = [r["doc_id"] for r in repetition_gate(df).collect()]
+    assert kept == [1]
+
+
+def test_repetition_metrics_plan_is_shuffle_free(spark):
+    from google_vision_ocr_spark.operators.quality_rules import repetition_metrics
+
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
