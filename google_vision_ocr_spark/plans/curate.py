@@ -64,6 +64,7 @@ def curate(
     allowed_langs: tuple[str, ...] | None = None,
     near_dup_jaccard: float = 0.8,
     materialize: bool = True,
+    max_dup_line_frac: float | None = None,
     **extract_kwargs,
 ) -> tuple[DataFrame, Observation]:
     """Returns (curated corpus, observation with per-stage counters).
@@ -84,6 +85,15 @@ def curate(
     docs = extract_fused(pages, **extract_kwargs)
     docs = docs.filter(F.col("n_errors") == 0)
     docs = with_text_metrics(docs)
+    if max_dup_line_frac is not None:
+        # Gopher repetition gate: zero-shuffle, rides the same scan
+        from ..operators.quality_rules import repetition_metrics
+
+        docs = (
+            repetition_metrics(docs)
+            .filter(F.col("dup_line_frac") <= max_dup_line_frac)
+            .drop("n_lines", "dup_line_frac", "dup_line_char_frac")
+        )
 
     q_ok = (F.col("quality") >= min_quality) & (F.col("ws_tokens") >= min_tokens)
     lang_ok = (

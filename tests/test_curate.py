@@ -61,3 +61,29 @@ def test_curation_deterministic(spark, curation_input):
     a = {r["url"] for r in curate(pages, allowed_langs=("en",))[0].collect()}
     b = {r["url"] for r in curate(pages.repartition(5), allowed_langs=("en",))[0].collect()}
     assert a == b  # partitioning-invariant
+
+
+def test_curate_repetition_gate(spark, tmp_path):
+    """max_dup_line_frac drops repetitive docs from the funnel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from google_vision_ocr_spark.plans.curate import curate
+
+    spam = "repeat me\n" * 30
+    fresh = "\n".join(f"unique line number {i} with content words" for i in range(30))
+    t = pa.table({
+        "url": pa.array(["u/spam", "u/fresh"]),
+        "warc_ts": pa.array([None, None], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([None, None], pa.binary()),
+        "text": pa.array([spam, fresh]),
+        "lang": pa.array(["en", "en"]),
+    })
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src)
+    pages = spark.read.parquet(src)
+    with_gate, _ = curate(pages, min_quality=0.0, min_tokens=1,
+                          max_dup_line_frac=0.3, materialize=False)
+    without, _ = curate(pages, min_quality=0.0, min_tokens=1, materialize=False)
+    assert {r["url"] for r in with_gate.collect()} == {"u/fresh"}
+    assert {r["url"] for r in without.collect()} == {"u/spam", "u/fresh"}
