@@ -360,6 +360,41 @@ def _tpch_q1(spark, sf_dir):
     )
 
 
+def _tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping-priority shape: selective filters pushed to all
+    three scans, the small filtered customer side broadcast, fact-fact
+    join shuffled on the order key."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+def _tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue shape: pure filter + global agg; every
+    predicate must reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
 def _text_tokens_bpe(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -592,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
         "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q6_revenue_filter": _tpch_q6,
         "text_tokens_bpe": _text_tokens_bpe,
         "doc_fingerprints": _fingerprints,
         "image_metadata": _image_metadata,
@@ -1063,6 +1100,25 @@ def oracle_sql() -> dict[str, str]:
                               THEN dup_chars * 1.0 / total_chars
                               ELSE 0.0 END, 6) AS dup_line_char_frac
             FROM agg
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        "tpch_q6_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "lang_id_heuristic": _lang_id_oracle(),
         "quality_scores": _quality_oracle(),

@@ -92,3 +92,16 @@ def test_extract_on_empty_input(spark):
     )
     assert extract_fused(empty).count() == 0
     assert extract(empty).count() == 0
+
+
+def test_scan_side_queries_have_no_shuffle(spark):
+    """corpus_split and repetition_metrics are pure scan-side
+    projections: zero Exchange, one file scan — the property that makes
+    them free at 100 TB (split filters push to the scan; per-doc line
+    stats never shuffle corpus text)."""
+    import __spark_entry__ as e
+
+    for name in ("corpus_split", "repetition_metrics"):
+        plan = _plan(e.queries()[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, name
+        assert plan.count("Scan parquet") == 1, name

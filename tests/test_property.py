@@ -55,3 +55,31 @@ def test_islands_cover_all_pages_once(pages):
     assert firsts == sorted(firsts)
     n_images = sum(1 for _, i in pages if i)
     assert sum(1 for c in chapters if c["kind"] == "image") == n_images
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                    min_size=1, max_size=60),
+            st.binary(min_size=0, max_size=500),
+        ),
+        min_size=0, max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_any_bytes(pairs, gzipped):
+    """Arbitrary binary bodies (incl. bytes that look like CRLF record
+    separators or WARC magic) survive the WARC codec — Content-Length
+    framing, not sentinel scanning."""
+    from datetime import datetime, timezone
+
+    from google_vision_ocr_spark.sources import warc
+
+    ts = datetime(2020, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    recs = [{"url": f"https://x.test/{i}/{u}", "ts": ts, "body": b}
+            for i, (u, b) in enumerate(pairs)]
+    rows = warc.warc_bytes_to_rows(warc.encode_warc(recs, gzipped=gzipped))
+    assert [r["html"] for r in rows] == [r["body"] for r in recs]
+    assert [r["url"] for r in rows] == [r["url"] for r in recs]
