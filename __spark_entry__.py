@@ -476,6 +476,42 @@ def _repetition_metrics(spark, sf_dir):
     )
 
 
+def _pii_redaction(spark, sf_dir):
+    """C4/CCNet-style PII scrub, falsifiable: every row gets planted
+    PII (email, IPv4, long digit run derived from doc_id), then the
+    JVM-side regexp chain must replace exactly what the oracle's RE2
+    mirror replaces — full redacted text is hash-compared."""
+    from google_vision_ocr_spark.functions.redact import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 9998887776 end"),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", redact_pii(F.col("text")).alias("text_redacted"))
+
+
+def _decontamination(spark, sf_dir):
+    """Benchmark decontamination audit: the eval set is the first 120
+    chars of every 50th document; a doc is contaminated if it shares
+    any word 8-gram with the eval set (broadcast semi-join on hashed
+    shingles).  The oracle recomputes the overlap with string shingles
+    in SQL — hash-injectivity makes the two equivalent."""
+    from google_vision_ocr_spark.operators.decontaminate import contaminated_ids
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return contaminated_ids(d, bench, k=8)
+
+
 def _lsh_bucket_histogram(spark, sf_dir):
     from google_vision_ocr_spark.operators.similarity import lsh_bucket_histogram
 
@@ -634,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _image_metadata,
         "corpus_split": _corpus_split,
         "repetition_metrics": _repetition_metrics,
+        "pii_redaction": _pii_redaction,
+        "decontamination": _decontamination,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
         "embedding_near_dups": _embedding_near_dups,
         "events_sessionize": _events_sessionize,
@@ -1058,6 +1096,54 @@ def oracle_sql() -> dict[str, str]:
                         / 64.0) AS BIGINT)) AS BIGINT) AS height,
                    CAST(1 AS BIGINT) AS channels
             FROM documents
+        """,
+        # RE2 mirrors of functions/redact.py (patterns restricted to the
+        # Java-regex ∩ RE2 common subset; 'g' = replace-all like Spark)
+        "pii_redaction": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com from 10.0.'
+                            || (doc_id % 256) || '.7 ref 9998887776 end' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\b[0-9]{9,}\b', '<NUM>', 'g') AS text_redacted
+            FROM planted
+        """,
+        "decontamination": r"""
+            WITH sh8 AS (
+                SELECT doc_id, w,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-7),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                 || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+                                 || ' ' || w[i+6] || ' ' || w[i+7])) END AS s
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '') AS w
+                      FROM documents)
+            ), bsh AS (
+                SELECT DISTINCT unnest(
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-7),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                 || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+                                 || ' ' || w[i+6] || ' ' || w[i+7])) END) AS shingle
+                FROM (SELECT list_filter(string_split_regex(
+                                 lower(substr(text, 1, 120)), '\s+'),
+                             t -> t <> '') AS w
+                      FROM documents WHERE doc_id % 50 = 0)
+            )
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(s) AS shingle FROM sh8) e
+            WHERE shingle IN (SELECT shingle FROM bsh)
         """,
         # md5 hex digits reduced to an int bucket — md5 is md5 in both
         # engines, so the assignment matches bit-for-bit

@@ -1,0 +1,63 @@
+"""Benchmark decontamination: drop training documents that overlap an
+evaluation set.
+
+The standard pre-training step (GPT-3 §C / PaLM / Llama reports):
+a document is *contaminated* if it shares any word k-gram (k≈8–13)
+with any benchmark item.  Spark-first shape:
+
+- both sides shingle with the same hashed-k-gram UDF the dedup family
+  uses (64-bit keyed blake2b, injective at corpus scale);
+- the benchmark side is tiny (thousands of eval items vs 10^12 docs)
+  → **broadcast semi-join on the shingle hash**: the corpus never
+  shuffles, each task probes the broadcast hash set;
+- output is either flags (audit) or the filtered corpus (drop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import make_shingle_udf
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    sh = df.select(F.col(id_col), make_shingle_udf(k)(F.col(text_col)).alias("__sh"))
+    return sh.select(id_col, F.explode("__sh").alias("shingle"))
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Distinct corpus ids sharing at least one word k-gram with the
+    benchmark.  The benchmark shingle set is broadcast."""
+    corp = _exploded_shingles(corpus, id_col, text_col, k)
+    bench = (
+        _exploded_shingles(benchmark.select(F.col(bench_text_col).alias("text")
+                                            ).withColumn("__bid", F.lit(0)),
+                           "__bid", "text", k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def drop_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    bad = contaminated_ids(corpus, benchmark, k, id_col, text_col, bench_text_col)
+    return corpus.join(bad, id_col, "left_anti")

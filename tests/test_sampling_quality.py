@@ -77,3 +77,58 @@ def test_repetition_metrics_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
     plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_known_strings(spark):
+    from google_vision_ocr_spark.functions.redact import clean_whitespace, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org now"),
+        (2, "server at 192.168.0.1 port"),
+        (3, "card 1234567890123456 ok"),
+        (4, "short 12345 stays"),
+        (5, "mixed bob@x.io 10.0.0.7 987654321 tail"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    from pyspark.sql import functions as F
+    got = {r["id"]: r["out"] for r in df.select("id", redact_pii(F.col("t")).alias("out")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port"
+    assert got[3] == "card <NUM> ok"
+    assert got[4] == "short 12345 stays"
+    assert got[5] == "mixed <EMAIL> <IP> <NUM> tail"
+    ws = df.filter(F.col("id") == 1).select(
+        clean_whitespace(F.lit("  a \t b\n\nc ")).alias("w")).first()["w"]
+    assert ws == "a b c"
+
+
+def test_decontamination_drops_overlapping_docs(spark):
+    from google_vision_ocr_spark.operators.decontaminate import (
+        contaminated_ids,
+        drop_contaminated,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
+    )
+    bad = {r["doc_id"] for r in contaminated_ids(corpus, bench, k=8).collect()}
+    assert bad == {1}
+    kept = {r["doc_id"] for r in drop_contaminated(corpus, bench, k=8).collect()}
+    assert kept == {2, 3}
+
+
+def test_decontamination_benchmark_side_broadcasts(spark):
+    from google_vision_ocr_spark.operators.decontaminate import contaminated_ids
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    bench = spark.createDataFrame([("a b c d e f g h",)], ["text"])
+    plan = contaminated_ids(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
