@@ -254,6 +254,18 @@ def _ann_lsh(spark, sf_dir):
                                dim=64)
 
 
+def _ann_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize to deterministic centroids, probe
+    the 4 nearest cells, exact-rerank within them.  Unlike the
+    seeded-hash LSH family every step is cosine arithmetic, so the
+    DuckDB oracle replays the whole algorithm (assignment, probe,
+    rerank) — a falsifiable partial-recall search path."""
+    from google_vision_ocr_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+                    centroid_mod=31, n_probe=4)
+
+
 def _ann_lsh_planted(spark, sf_dir):
     """Falsifiable ANN-LSH recall in its design regime: 10 graded
     near-neighbors of vector 0 are planted (deterministic integer
@@ -654,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_cosine": _ann_bruteforce,
         "ann_lsh_cosine": _ann_lsh,
         "ann_lsh_planted": _ann_lsh_planted,
+        "ann_ivf_cosine": _ann_ivf,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
@@ -1049,6 +1062,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST(qe AS DOUBLE[])) DESC, vec_id
+            LIMIT 10
+        """,
+        # the oracle replays the IVF algorithm itself: nearest-centroid
+        # assignment, probe-cell selection, exact rerank — all cosine
+        "ann_ivf_cosine": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), c AS (
+                SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0
+            ), assign AS (
+                SELECT vec_id, v, cid AS cell FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(c.cv, e.v) DESC,
+                                        c.cid) AS rn
+                    FROM e CROSS JOIN c
+                ) WHERE rn = 1
+            ), q AS (
+                SELECT v AS qv FROM e WHERE vec_id = 0
+            ), probe AS (
+                SELECT cid FROM c, q
+                ORDER BY list_cosine_similarity(cv, qv) DESC, cid
+                LIMIT 4
+            )
+            SELECT a.vec_id, round(list_cosine_similarity(a.v, qv), 4) AS cos_sim
+            FROM assign a, q
+            WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id <> 0
+            ORDER BY list_cosine_similarity(a.v, qv) DESC, a.vec_id
             LIMIT 10
         """,
         # brute-force top-10 over the same planted frame the Spark LSH

@@ -161,6 +161,78 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties break on centroid id).
+
+    The centroid table is tiny (≤ ~2^16 rows) ⇒ broadcast; the argmax
+    is a map-side-combinable ``max_by`` groupBy.  At 100 TB this runs
+    once at index-build time and the corpus is written partitioned /
+    clustered by ``cell`` so a query's probe touches only its cells.
+    """
+    scored = embeddings.crossJoin(
+        F.broadcast(centroids.select(F.col(cid_col), F.col(cvec_col)))
+    ).select(
+        F.col(id_col), F.col(vec_col),
+        F.col(cid_col), _cosine_col(vec_col, cvec_col).alias("__s"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(cid_col, F.struct(F.col("__s"), -F.col(cid_col))).alias("cell"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    centroid_mod: int = 31,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` cells nearest the query, exact
+    cosine rerank within them.
+
+    Centroids here are chosen deterministically (every ``centroid_mod``-th
+    vector) — the k-means training step is orthogonal to the engine
+    shape and would slot in the same ``centroids`` frame.  Every step
+    (assignment, probe selection, rerank) is plain cosine arithmetic,
+    so the whole operator is expressible as an ANSI-SQL oracle, unlike
+    the seeded-hash LSH family.
+    """
+    centroids = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .select("cid", _cosine_col("cv", "__q").alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probe), assigned["cell"] == probe["cid"], "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
+    )
+
+
 def lsh_bucket_histogram(
     embeddings: DataFrame,
     id_col: str = "vec_id",

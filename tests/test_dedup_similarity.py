@@ -139,3 +139,27 @@ def test_simhash_rejects_lossy_banding(docs):
 
     with pytest.raises(ValueError, match="lossy"):
         simhash_candidates(docs, max_hamming=5, n_bands=4)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With every cell probed, IVF degenerates to exact search — the
+    invariant that pins assignment + rerank correctness independent of
+    centroid quality."""
+    from google_vision_ocr_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = [(r["vec_id"], r["cos_sim"]) for r in
+            ivf_topk(emb, query_id=0, k=10, centroid_mod=31, n_probe=10_000).collect()]
+    bf = [(r["vec_id"], r["cos_sim"]) for r in
+          cosine_topk(emb, query_id=0, k=10).collect()]
+    assert full == bf
+
+
+def test_ivf_partial_probe_is_subset_of_corpus_and_sorted(spark):
+    from google_vision_ocr_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ivf_topk(emb, query_id=0, k=10, n_probe=2).collect()
+    sims = [r["cos_sim"] for r in rows]
+    assert len(rows) == 10 and sims == sorted(sims, reverse=True)
+    assert all(r["vec_id"] != 0 for r in rows)
