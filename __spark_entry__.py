@@ -372,6 +372,43 @@ def _tpch_q1(spark, sf_dir):
     )
 
 
+def _events_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (interpolated): Spark `percentile`
+    mirrors DuckDB `quantile_cont` bit-for-bit after rounding — the
+    monitoring/percentile-report shape over the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _url_host_stats(spark, sf_dir):
+    """URL canonicalization + per-host rollup: derive a realistic URL
+    per document (source becomes the host, with tracking-param and
+    fragment noise planted), canonicalize it JVM-side, and aggregate
+    per host — the registrable-domain grouping every CC pipeline runs."""
+    from google_vision_ocr_spark.functions.urls import canonicalize_url, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.ORG:443/Docs/"),
+        F.col("doc_id").cast("string"), F.lit("?utm_source=x&id="),
+        F.col("doc_id").cast("string"), F.lit("#frag"),
+    )
+    u = d.select("doc_id", "n_chars", canonicalize_url(raw).alias("url"))
+    return (
+        u.withColumn("host", url_host(F.col("url")))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
 def _tpch_q3(spark, sf_dir):
     """TPC-H Q3 shipping-priority shape: selective filters pushed to all
     three scans, the small filtered customer side broadcast, fact-fact
@@ -675,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": _embedding_near_dups_exact,
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
+        "events_value_quantiles": _events_quantiles,
+        "url_host_stats": _url_host_stats,
         "tpch_q1_pricing_summary": _tpch_q1,
         "tpch_q3_shipping_priority": _tpch_q3,
         "tpch_q6_revenue_filter": _tpch_q6,
@@ -1228,6 +1267,29 @@ def oracle_sql() -> dict[str, str]:
                               THEN dup_chars * 1.0 / total_chars
                               ELSE 0.0 END, 6) AS dup_line_char_frac
             FROM agg
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        # independent derivation: instead of replaying the regex chain,
+        # the oracle constructs the canonical form the rules SHOULD
+        # produce from the same planted raw URL — a rule bug mismatches
+        "url_host_stats": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       source || '.example.org' AS host,
+                       'https://' || source || '.example.org/Docs/' || doc_id
+                           || '?id=' || doc_id AS url
+                FROM documents
+            )
+            SELECT host, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(url) AS first_url
+            FROM u GROUP BY host
         """,
         "tpch_q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

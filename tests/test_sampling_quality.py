@@ -132,3 +132,33 @@ def test_decontamination_benchmark_side_broadcasts(spark):
     bench = spark.createDataFrame([("a b c d e f g h",)], ["text"])
     plan = contaminated_ids(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from google_vision_ocr_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    cases = [
+        ("HTTP://Example.COM:80/A/b?x=1", "http://example.com/A/b?x=1"),
+        ("https://WWW.Site.Org:443/p", "https://site.org/p"),
+        ("https://a.b.c/p?utm_source=x&utm_medium=y&q=2#frag", "https://a.b.c/p?q=2"),
+        ("https://x.io/p?gclid=abc", "https://x.io/p"),
+        ("https://x.io/p?fbclid=1&keep=2", "https://x.io/p?keep=2"),
+        ("http://host:8080/p", "http://host:8080/p"),  # non-default port kept
+        ("https://x.io/CaseSensitive/Path", "https://x.io/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(cases, ["raw", "want"])
+    rows = df.select("raw", "want", canonicalize_url(F.col("raw")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["raw"], r["got"], r["want"])
+    hp = df.select(
+        url_host(canonicalize_url(F.col("raw"))).alias("h"),
+        registrable_domain(F.col("raw")).alias("d"),
+    ).collect()
+    assert hp[0]["h"] == "example.com" and hp[0]["d"] == "example.com"
+    assert hp[2]["h"] == "a.b.c" and hp[2]["d"] == "b.c"
