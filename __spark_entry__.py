@@ -372,6 +372,31 @@ def _tpch_q1(spark, sf_dir):
     )
 
 
+def _lm_unigram_scores(spark, sf_dir):
+    """CCNet-style LM quality filter: train a unigram model on the
+    corpus (top-1000 words, one hash-agg), broadcast it, score every
+    document by mean -ln p(word).  The oracle replays train + score in
+    SQL, so vocabulary truncation, OOV flooring and the cross-entropy
+    itself are all checked."""
+    from google_vision_ocr_spark.operators.scoring import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+def _pack_shards_manifest(spark, sf_dir):
+    """Token-budget shard packing (sequence-packing layout): documents
+    pack into ~2000-token shards within each language partition via a
+    windowed cumulative sum; the manifest is one row per shard."""
+    from google_vision_ocr_spark.operators.packing import shard_manifest
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.expr(WORDS_EXPR.format(col="text"))).cast("bigint").alias("ws_tokens"),
+    )
+    return shard_manifest(d, budget=2000)
+
+
 def _events_quantiles(spark, sf_dir):
     """Exact per-group quantiles (interpolated): Spark `percentile`
     mirrors DuckDB `quantile_cont` bit-for-bit after rounding — the
@@ -712,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": _embedding_near_dups_exact,
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
+        "lm_unigram_scores": _lm_unigram_scores,
+        "pack_shards_manifest": _pack_shards_manifest,
         "events_value_quantiles": _events_quantiles,
         "url_host_stats": _url_host_stats,
         "tpch_q1_pricing_summary": _tpch_q1,
@@ -1267,6 +1294,44 @@ def oracle_sql() -> dict[str, str]:
                               THEN dup_chars * 1.0 / total_chars
                               ELSE 0.0 END, 6) AS dup_line_char_frac
             FROM agg
+        """,
+        "lm_unigram_scores": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          t -> t <> '')) AS word
+                FROM documents
+            ), counts AS (
+                SELECT word, count(*) AS cnt FROM w GROUP BY word
+            ), tot AS (
+                SELECT sum(cnt) AS total FROM counts
+            ), vocab AS (
+                SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 1000
+            )
+            SELECT doc_id, count(*) AS n_words,
+                   round(avg(-ln(coalesce(v.cnt, 1) * 1.0 / total)), 6)
+                       AS avg_neg_logprob
+            FROM w LEFT JOIN vocab v USING (word), tot
+            GROUP BY doc_id
+        """,
+        "pack_shards_manifest": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS ws_tokens
+                FROM documents
+            ), packed AS (
+                SELECT lang, doc_id, ws_tokens,
+                       CAST(floor((sum(ws_tokens) OVER (PARTITION BY lang
+                                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - ws_tokens) * 1.0 / 2000)
+                            AS BIGINT) AS shard_id
+                FROM t
+            )
+            SELECT lang, shard_id, count(*) AS n_docs,
+                   CAST(sum(ws_tokens) AS BIGINT) AS sum_tokens,
+                   min(doc_id) AS first_id, max(doc_id) AS last_id
+            FROM packed GROUP BY lang, shard_id
         """,
         "events_value_quantiles": """
             SELECT event_type,

@@ -1,0 +1,72 @@
+"""Unigram language-model scoring — the CCNet-style LM quality filter.
+
+CCNet ranks web documents by an LM's perplexity and keeps the
+best-scoring tail.  The distributed shape matters more than the model:
+**train on the corpus in one aggregation, broadcast the model, score in
+one pass**.
+
+- vocabulary = top-``vocab_size`` words by corpus frequency (ties break
+  on the word, so the model is deterministic);
+- word probability = count / total_words; out-of-vocabulary words get
+  1 / total_words (their true count is unknown after truncation — the
+  floor keeps the score finite and monotone in OOV rate);
+- document score = mean over its words of ``-ln p(word)`` (a
+  cross-entropy; lower = more "in-distribution").
+
+The model is a few thousand rows ⇒ broadcast join; the corpus is
+scanned once for training (hash-agg on words) and once for scoring.
+At 10^12 docs the trained vocab would be written as a table and the
+scoring pass joins against it — same plan, persisted edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORDS_EXPR = r"filter(split(lower({col}), '\\s+'), x -> x <> '')"
+
+
+def _exploded_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(F.expr(WORDS_EXPR.format(col=text_col))).alias("word")
+    )
+
+
+def train_unigram(docs: DataFrame, text_col: str = "text",
+                  vocab_size: int = 1000) -> tuple[DataFrame, int]:
+    """Returns (vocab frame ``(word, cnt)``, total word count)."""
+    words = docs.select(
+        F.explode(F.expr(WORDS_EXPR.format(col=text_col))).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_size)
+    )
+    return vocab, int(total)
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """``(id, n_words, avg_neg_logprob)`` per document (docs with no
+    words are dropped, matching the exploded-join shape)."""
+    vocab, total = train_unigram(docs, text_col, vocab_size)
+    scored = (
+        _exploded_words(docs, id_col, text_col)
+        .join(F.broadcast(vocab), "word", "left")
+        .select(
+            F.col(id_col),
+            (-F.log(F.coalesce(F.col("cnt"), F.lit(1)) / F.lit(float(total))))
+            .alias("__nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("__nlp"), 6).alias("avg_neg_logprob"),
+    )

@@ -162,3 +162,36 @@ def test_canonicalize_url_rules(spark):
     ).collect()
     assert hp[0]["h"] == "example.com" and hp[0]["d"] == "example.com"
     assert hp[2]["h"] == "a.b.c" and hp[2]["d"] == "b.c"
+
+
+def test_unigram_scores_rank_in_vs_out_of_distribution(spark):
+    from google_vision_ocr_spark.operators.scoring import unigram_logprob_scores
+
+    common = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, common) for i in range(1, 9)] + [
+        (9, "zzyzx qwerty asdfgh zxcvbn plmokn ijnuhb ygvtfc")  # all-OOV-ish
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in unigram_logprob_scores(df, vocab_size=8).collect()}
+    # the out-of-distribution doc must score strictly worse (higher)
+    assert got[9] > max(got[i] for i in range(1, 9))
+
+
+def test_pack_shards_budget_and_order(spark):
+    from google_vision_ocr_spark.operators.packing import pack_shards, shard_manifest
+
+    rows = [(i, "en", 600) for i in range(10)] + [(i, "de", 900) for i in range(10, 16)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "ws_tokens"])
+    packed = pack_shards(df, budget=2000).collect()
+    by_id = {r["doc_id"]: r["shard_id"] for r in packed}
+    # en: 600-token docs, budget 2000 -> runs start at 0,600,...; shard changes
+    # when the running start crosses each 2000 boundary
+    assert [by_id[i] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # shards never exceed budget by more than one document
+    man = shard_manifest(df, budget=2000).collect()
+    for r in man:
+        assert r["sum_tokens"] < 2000 + 900 + 1
+    # ids within a shard are contiguous
+    for r in man:
+        assert r["last_id"] - r["first_id"] + 1 == r["n_docs"]
