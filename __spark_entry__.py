@@ -372,6 +372,25 @@ def _tpch_q1(spark, sf_dir):
     )
 
 
+def _paragraph_dedup(spark, sf_dir):
+    """Global paragraph dedup over a frame with planted cross-document
+    boilerplate: every document gets a per-source subscribe-prompt
+    paragraph appended, so exactly one document per source keeps it
+    (the min (doc_id, pos) occurrence) and all others are stripped to
+    their main text.  Falsifiable end to end: the oracle replays the
+    keep-first-occurrence rule and the order-restoring reassembly."""
+    from google_vision_ocr_spark.operators.dedup import drop_repeated_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\nSubscribe to "), F.col("source"),
+            F.lit(" newsletter today"),
+        ).alias("text"),
+    )
+    return drop_repeated_paragraphs(d)
+
+
 def _lm_unigram_scores(spark, sf_dir):
     """CCNet-style LM quality filter: train a unigram model on the
     corpus (top-1000 words, one hash-agg), broadcast it, score every
@@ -737,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": _embedding_near_dups_exact,
         "lang_id_heuristic": _lang_id,
         "quality_scores": _quality_scores,
+        "paragraph_dedup": _paragraph_dedup,
         "lm_unigram_scores": _lm_unigram_scores,
         "pack_shards_manifest": _pack_shards_manifest,
         "events_value_quantiles": _events_quantiles,
@@ -1294,6 +1314,32 @@ def oracle_sql() -> dict[str, str]:
                               THEN dup_chars * 1.0 / total_chars
                               ELSE 0.0 END, 6) AS dup_line_char_frac
             FROM agg
+        """,
+        "paragraph_dedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || chr(10) || chr(10) || 'Subscribe to ' || source
+                            || ' newsletter today' AS t
+                FROM documents
+            ), sp AS (
+                SELECT doc_id, string_split(t, chr(10) || chr(10)) AS paras FROM d
+            ), ex AS (
+                SELECT doc_id, paras,
+                       unnest(generate_series(1, len(paras))) AS i
+                FROM sp
+            ), px AS (
+                SELECT doc_id, i - 1 AS pos, paras[i] AS para FROM ex
+            ), keep AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, pos) AS rn
+                FROM px
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.para, chr(10) || chr(10) ORDER BY k.pos),
+                            '') AS text_dedup
+            FROM d LEFT JOIN (SELECT * FROM keep WHERE rn = 1) k USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "lm_unigram_scores": r"""
             WITH w AS (

@@ -281,6 +281,53 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def drop_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Global paragraph-level dedup (RefinedWeb-style): a paragraph
+    appearing in many documents (cookie banners, subscribe prompts,
+    license footers) is kept only at its first global occurrence —
+    ordered by ``(id, position)`` — and dropped everywhere else; each
+    document is then reassembled in original paragraph order.
+
+    Shape: explode paragraphs → ``row_number`` over a window keyed by
+    the paragraph's 128-bit md5 (the shuffle key is the 16-byte digest,
+    not the text) → keep rank 1 → ``collect_list`` + ``array_sort`` to
+    rebuild.  Two shuffles: one on the digest, one on the doc id.
+    Documents whose every paragraph was dropped survive with ''.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para").cast("binary"))).orderBy(id_col, "pos")
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )
+
+
 def make_shingle_udf(k: int = 3):
     @F.pandas_udf(ArrayType(LongType()))
     def shingle_udf(texts: pd.Series) -> pd.Series:

@@ -163,3 +163,37 @@ def test_ivf_partial_probe_is_subset_of_corpus_and_sorted(spark):
     sims = [r["cos_sim"] for r in rows]
     assert len(rows) == 10 and sims == sorted(sims, reverse=True)
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_drop_repeated_paragraphs_keeps_first_occurrence(spark):
+    from google_vision_ocr_spark.operators.dedup import drop_repeated_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique one\n\n{boiler}"),
+        (2, f"{boiler}\n\nunique two"),
+        (3, boiler),                       # everything dropped -> ''
+        (4, "untouched document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in drop_repeated_paragraphs(df).collect()}
+    # first global occurrence is (doc 1, pos 1); everyone else loses it
+    assert got[1] == f"unique one\n\n{boiler}"
+    assert got[2] == "unique two"
+    assert got[3] == ""
+    assert got[4] == "untouched document"
+
+
+def test_drop_repeated_paragraphs_partitioning_invariant(spark):
+    from google_vision_ocr_spark.operators.dedup import drop_repeated_paragraphs
+
+    rows = [(i, f"body {i}\n\nshared footer") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: r["text_dedup"]
+         for r in drop_repeated_paragraphs(df.repartition(1)).collect()}
+    b = {r["doc_id"]: r["text_dedup"]
+         for r in drop_repeated_paragraphs(df.repartition(16)).collect()}
+    assert a == b
+    assert a[0].endswith("shared footer") and all(
+        a[i] == f"body {i}" for i in range(1, 50))
