@@ -34,20 +34,26 @@ METRICS_SCHEMA = "quality double, lang_guess string, ws_tokens bigint"
 _FRAME_RE = re.compile(r"\n--- Page \d+ ---\n")
 
 
-@F.pandas_udf(METRICS_SCHEMA)
-def _metrics_udf(texts: pd.Series) -> pd.DataFrame:
-    # metrics are about the CONTENT: drop the page-frame headers the
-    # byte-identity contract mandates in pdf outputs (ocr_service.py:120)
-    texts = texts.fillna("").map(lambda t: _FRAME_RE.sub("\n", t))
-    return pd.DataFrame({
-        "quality": texts.map(quality_score),
-        "lang_guess": lang_id_series(texts),
-        "ws_tokens": texts.map(lambda t: len(t.split())).astype("int64"),
-    })
+def _make_metrics_udf():
+    # built lazily: @pandas_udf parses its DDL schema eagerly, which
+    # requires an active SparkSession — a module-level decorator would
+    # make `import plans.curate` fail in sessionless processes
+    @F.pandas_udf(METRICS_SCHEMA)
+    def _metrics_udf(texts: pd.Series) -> pd.DataFrame:
+        # metrics are about the CONTENT: drop the page-frame headers the
+        # byte-identity contract mandates in pdf outputs (ocr_service.py:120)
+        texts = texts.fillna("").map(lambda t: _FRAME_RE.sub("\n", t))
+        return pd.DataFrame({
+            "quality": texts.map(quality_score),
+            "lang_guess": lang_id_series(texts),
+            "ws_tokens": texts.map(lambda t: len(t.split())).astype("int64"),
+        })
+
+    return _metrics_udf
 
 
 def with_text_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    m = _metrics_udf(F.col(text_col))
+    m = _make_metrics_udf()(F.col(text_col))
     return (
         docs.withColumn("__m", m)
         .withColumn("quality", F.col("__m.quality"))
