@@ -88,3 +88,19 @@ def test_normalize_path_col(spark):
     )
     got = [r["n"] for r in df.select(normalize_path_col(F.col("p")).alias("n")).collect()]
     assert got == ["https://a/b/c/d", "/x/y", "plain"]
+
+
+def test_all_modules_import_without_spark_session():
+    """Every package module must import from a sessionless process —
+    spark-submit --py-files imports modules on executors before any
+    session exists there, and module-level pandas_udf schema parsing
+    would crash it."""
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib, pkgutil; import google_vision_ocr_spark as p; "
+        "[importlib.import_module(m.name) for m in "
+        "pkgutil.walk_packages(p.__path__, p.__name__ + '.')]"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
