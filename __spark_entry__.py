@@ -350,24 +350,37 @@ def _quality_scores(spark, sf_dir):
 
 def _tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary — the canonical partial+final hash-agg
-    shape over the biggest table."""
+    shape over the biggest table.
+
+    Money arithmetic is decimal-exact: the stored doubles carry exactly
+    2 decimals, so DECIMAL(12,2) recovers them losslessly and the sums
+    become order-independent and tie-free — float accumulation rounds
+    half-cent ULP ties differently between Spark and DuckDB (that bug
+    bit tpch_q3 in round 2).  Averages divide the exact decimal sum
+    (cast to double) by the count, so both engines round the SAME
+    double."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("sum_disc_price"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)), 2)
+            .cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                      * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+                F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)
+                      * (F.lit(1).cast("decimal(3,2)") + tax)), 2
+            ).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -461,13 +474,17 @@ def _tpch_q3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue")
+            # decimal-exact: float sums here round half-cent ULP ties
+            # differently vs the oracle (2 of 1,236 groups in round 2)
+            F.round(F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)), 2)
+            .cast("double").alias("revenue")
         )
     )
 
@@ -483,8 +500,9 @@ def _tpch_q6(spark, sf_dir):
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                           * F.col("l_discount").cast("decimal(12,2)")), 2)
+             .cast("double").alias("revenue"))
     )
 
 
@@ -1200,19 +1218,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
             LIMIT 10
         """,
+        # decimal-exact money arithmetic mirroring the Spark side: the
+        # doubles carry exactly 2 decimals, DECIMAL(12,2) recovers them
+        # losslessly, and decimal sums are order-independent/tie-free
         "tpch_q1_pricing_summary": """
+            WITH d AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                       CAST(l_discount AS DECIMAL(12,2)) AS disc,
+                       CAST(l_tax AS DECIMAL(12,2)) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                       AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)), 2)
+                        AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)
+                              * (CAST(1 AS DECIMAL(3,2)) + tax)), 2)
+                        AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price,
+                   round(CAST(sum(disc) AS DOUBLE) / count(*), 4) AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            FROM d
             GROUP BY l_returnflag, l_linestatus
         """,
         # width = PAGE_WIDTH (64); height = max(8, ceil((4 + utf8 bytes)
@@ -1404,7 +1435,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                        AS DOUBLE) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1414,7 +1448,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
         """,
         "tpch_q6_revenue_filter": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(l_discount AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
