@@ -294,24 +294,32 @@ def drop_repeated_paragraphs(
     ordered by ``(id, position)`` — and dropped everywhere else; each
     document is then reassembled in original paragraph order.
 
-    Shape: explode paragraphs → ``row_number`` over a window keyed by
-    the paragraph's 128-bit md5 (the shuffle key is the 16-byte digest,
-    not the text) → keep rank 1 → ``collect_list`` + ``array_sort`` to
-    rebuild.  Two shuffles: one on the digest, one on the doc id.
-    Documents whose every paragraph was dropped survive with ''.
+    Shape: explode paragraphs → ``groupBy(digest).agg(min(struct(id,
+    pos)))`` → semi-join the winners back on ``(digest, id, pos)`` →
+    ``collect_list`` + ``array_sort`` to rebuild.  The shuffle key is
+    the 16-byte digest, never the text, and — unlike a
+    ``row_number() OVER (PARTITION BY digest)`` window — the hottest
+    key (by construction the MOST duplicated paragraph, e.g. a
+    universal cookie banner in ~10^9 documents) is reduced by a
+    map-side-combinable ``min``, not funneled into one task's sort.
+    The semi-join key ``(digest, id, pos)`` is unique per row, so it
+    carries no skew either.  Documents whose every paragraph was
+    dropped survive with ''.
     """
-    from pyspark.sql import Window
-
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("__digest", F.md5(F.col("para").cast("binary")))
+    winners = (
+        paras.groupBy("__digest")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+        .select(
+            "__digest",
+            F.col("__w")[id_col].alias(id_col),
+            F.col("__w")["pos"].alias("pos"),
+        )
     )
-    w = Window.partitionBy(F.md5(F.col("para").cast("binary"))).orderBy(id_col, "pos")
-    kept = (
-        paras.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    kept = paras.join(winners, ["__digest", id_col, "pos"], "leftsemi")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

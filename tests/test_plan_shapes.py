@@ -105,3 +105,43 @@ def test_scan_side_queries_have_no_shuffle(spark):
         plan = _plan(e.queries()[name](spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan, name
         assert plan.count("Scan parquet") == 1, name
+
+
+def test_paragraph_dedup_has_no_window_sort(spark):
+    """drop_repeated_paragraphs must not compute keep-first with a
+    row_number window: the hottest digest key is by construction the
+    MOST duplicated paragraph (a universal cookie banner puts ~10^9
+    rows in one window partition at 10^12 docs).  The scale-safe shape
+    is groupBy(digest).agg(min(struct)) — map-side combinable — plus a
+    semi-join back on the unique (digest, id, pos) key."""
+    from google_vision_ocr_spark.operators.dedup import drop_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, f"body {i}\n\nshared footer") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(drop_repeated_paragraphs(df))
+    assert "Window" not in plan
+    # partial aggregation of the min(struct) before the digest shuffle
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "LeftSemi" in plan
+
+
+def test_pack_shards_windows_are_bounded_by_spark_partition(spark):
+    """pack_shards must never sort a whole partition KEY in one task:
+    every window over row-scale data partitions by (__pid, part), so
+    per-task work is bounded by Spark partition size.  The only window
+    without __pid in its partition spec runs over the per-partition
+    subtotal frame (≤ #partitions rows) and sorts BY __pid."""
+    from google_vision_ocr_spark.operators.packing import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, "en", 100) for i in range(50)], ["doc_id", "lang", "ws_tokens"]
+    )
+    plan = _plan(pack_shards(df, budget=500, num_partitions=8))
+    assert "rangepartitioning" in plan.lower()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "__pid" in spec, spec

@@ -195,3 +195,20 @@ def test_pack_shards_budget_and_order(spark):
     # ids within a shard are contiguous
     for r in man:
         assert r["last_id"] - r["first_id"] + 1 == r["n_docs"]
+
+
+def test_pack_shards_prefix_sum_across_spark_partitions(spark):
+    """The two-pass prefix sum must agree with the sequential cumsum
+    even when a single partition KEY straddles many Spark partitions
+    (the 100 TB case: one language is half the corpus)."""
+    from google_vision_ocr_spark.operators.packing import pack_shards
+
+    rows = [(i, "en", 100 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "ws_tokens"])
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(df, budget=500, num_partitions=16).collect()}
+    run = 0
+    for i in range(200):
+        tok = 100 + (i % 7)
+        assert got[i] == run // 500, i
+        run += tok
