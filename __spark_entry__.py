@@ -741,6 +741,52 @@ def _curate_documents(spark, sf_dir):
                           F.round("quality", 4).alias("quality"))
 
 
+def _warc_roundtrip(spark, sf_dir):
+    """WARC IO under the driver gate: archive the documents table into
+    per-source WARC segments (alternating plain/gzipped, the CC layout
+    being one gzip member per record), read them back through the
+    ``binaryFile`` + ``mapInArrow`` source, and project the decoded
+    fields.  The oracle reconstructs the same rows from the documents
+    table directly, so any codec/envelope drift — URL header, WARC-Date
+    formatting/parsing, HTTP envelope stripping, body bytes, record
+    framing, gzip member handling — breaks the value hash.
+
+    The driver-side collect here is fixture PREP (writing the archive
+    segments), not the measured operator; ``read_warc`` itself is one
+    task per segment with streamed Arrow batches."""
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    from google_vision_ocr_spark.sources.warc import read_warc, write_warc_file
+
+    out_dir = "/tmp/spark_graft_warc_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source").collect()
+    epoch = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    by_source: dict[str, list] = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append(r)
+    for i, (src, rows) in enumerate(sorted(by_source.items())):
+        recs = [
+            {
+                "url": f"doc://{src}/{r['doc_id']}",
+                "ts": epoch + timedelta(seconds=int(r["doc_id"])),
+                "body": r["text"].encode("utf-8"),
+            }
+            for r in sorted(rows, key=lambda r: int(r["doc_id"]))
+        ]
+        ext = ".warc.gz" if i % 2 else ".warc"
+        write_warc_file(os.path.join(out_dir, f"seg-{src}{ext}"), recs)
+    back = read_warc(spark, out_dir)
+    return back.select(
+        "url",
+        "warc_ts",
+        F.col("html").cast("string").alias("body_text"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -793,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "events_sessionize": _events_sessionize,
         "curate_documents": _curate_documents,
+        "warc_roundtrip": _warc_roundtrip,
     }
 
 
@@ -1456,6 +1503,15 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # mirrors _warc_roundtrip's archive construction row-for-row:
+        # a drift anywhere in the WARC codec path breaks this hash
+        "warc_roundtrip": """
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   TIMESTAMP '2020-01-01' + INTERVAL (doc_id) SECOND AS warc_ts,
+                   text AS body_text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "lang_id_heuristic": _lang_id_oracle(),
         "quality_scores": _quality_oracle(),

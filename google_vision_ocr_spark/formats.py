@@ -392,7 +392,13 @@ def encode_tiff_gray(arr: np.ndarray) -> bytes:
 
 
 def _tiff_tags(payload: bytes) -> dict[int, int]:
-    """Parse the first IFD's scalar tags (endian-aware; real-TIFF layout)."""
+    """Parse the first IFD's SCALAR tags (endian-aware; real-TIFF layout).
+
+    Only ``count == 1`` entries whose value fits the inline 4-byte field
+    are scalars; array-valued tags (multi-strip ``StripOffsets``,
+    per-sample ``BitsPerSample``, …) store an offset there instead and
+    raise ``ValueError`` rather than being silently misread as inline
+    scalars."""
     if payload[:4] == TIFF_MAGIC_LE:
         e = "<"
     elif payload[:4] == TIFF_MAGIC_BE:
@@ -401,12 +407,24 @@ def _tiff_tags(payload: bytes) -> dict[int, int]:
         raise ValueError("not a TIFF payload")
     (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
     (n,) = struct.unpack_from(e + "H", payload, ifd_off)
+    # bytes per element for the types we read inline (BYTE/SHORT/LONG)
+    type_width = {1: 1, 3: 2, 4: 4}
     tags: dict[int, int] = {}
     for i in range(n):
         base = ifd_off + 2 + 12 * i
-        tag, typ, _cnt = struct.unpack_from(e + "HHI", payload, base)
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+        width = type_width.get(typ)
+        if width is None:
+            continue  # RATIONAL/ASCII/… — not needed by any caller
+        if cnt != 1 or width > 4:
+            raise ValueError(
+                f"TIFF tag {tag} has count {cnt} (type {typ}) — array-valued "
+                "tags (multi-strip layout, per-sample bits) are unsupported"
+            )
         if typ == 3:
             (val,) = struct.unpack_from(e + "H", payload, base + 8)
+        elif typ == 1:
+            val = payload[base + 8]
         else:
             (val,) = struct.unpack_from(e + "I", payload, base + 8)
         tags[tag] = val
@@ -415,7 +433,8 @@ def _tiff_tags(payload: bytes) -> dict[int, int]:
 
 def tiff_dimensions(payload: bytes) -> tuple[int, int, int]:
     """(width, height, samples-per-pixel) from a TIFF's IFD — header-only
-    scan, valid for any single-IFD TIFF regardless of compression."""
+    scan for single-IFD, single-strip, scalar-tag TIFFs (multi-strip /
+    multi-sample files raise rather than yield garbage)."""
     tags = _tiff_tags(payload)
     return tags[256], tags[257], tags.get(277, 1)
 

@@ -53,5 +53,78 @@ def url_host(col: Column) -> Column:
 
 def registrable_domain(col: Column) -> Column:
     """Last-two-labels heuristic, lowercased (it's a grouping key; no
-    public-suffix list ships in this container)."""
+    public-suffix list ships in this container).  Wrong for multi-label
+    suffixes like ``*.co.uk`` — use :func:`with_registrable_domain`
+    with a PSL frame where one is available."""
     return F.lower(F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1))
+
+
+def with_registrable_domain(
+    df,
+    url_col: str = "url",
+    out_col: str = "domain",
+    psl=None,
+    max_suffix_labels: int = 4,
+):
+    """Attach the registrable domain of each row's URL.
+
+    With ``psl`` — a DataFrame with one ``suffix`` column holding
+    public-suffix entries (``com``, ``co.uk``, …) — the domain is one
+    label plus the LONGEST matching suffix, the real PSL rule.  The
+    match runs over the *distinct hosts* frame (cardinality ≪ rows:
+    ~10^8 hosts vs 10^12 pages), exploding at most
+    ``max_suffix_labels`` candidate suffixes per host into a broadcast
+    join against the PSL, then joins the small host→domain mapping back.
+    Hosts matching no suffix fall back to the last-two-labels
+    heuristic, as does the whole function when ``psl`` is None.
+    """
+    host = F.lower(url_host(F.col(url_col)))
+    heuristic = F.regexp_extract(F.col("__host"), r"([^.]+\.[^.]+)$", 1)
+    if psl is None:
+        return (
+            df.withColumn("__host", host)
+            .withColumn(out_col, heuristic)
+            .drop("__host")
+        )
+    hosts = df.select(host.alias("__host")).distinct()
+    labeled = hosts.withColumn("__labels", F.split(F.col("__host"), r"\.")).withColumn(
+        "__n", F.size("__labels")
+    )
+    cand = labeled.select(
+        "__host", "__labels", "__n",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.col("__n") - 1, F.lit(max_suffix_labels)))
+        ).alias("__k"),
+    ).filter(
+        # k must leave at least one label for the registrable part;
+        # also drops the descending sequence(1, 0) a 1-label host makes
+        (F.col("__k") >= 1) & (F.col("__k") < F.col("__n"))
+    ).withColumn(
+        "__suffix",
+        F.concat_ws(
+            ".", F.slice("__labels", F.col("__n") - F.col("__k") + 1, F.col("__k"))
+        ),
+    )
+    matched = (
+        cand.join(
+            F.broadcast(psl.select(F.col("suffix").alias("__suffix"))), "__suffix"
+        )
+        .groupBy("__host")
+        .agg(F.max("__k").alias("__k"))
+    )
+    mapping = (
+        labeled.join(matched, "__host", "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__k").isNull(), heuristic).otherwise(
+                F.concat_ws(
+                    ".",
+                    F.slice(
+                        "__labels", F.col("__n") - F.col("__k"), F.col("__k") + 1
+                    ),
+                )
+            ),
+        )
+        .select("__host", out_col)
+    )
+    return df.withColumn("__host", host).join(mapping, "__host", "left").drop("__host")

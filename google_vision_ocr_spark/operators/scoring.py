@@ -35,17 +35,41 @@ def _exploded_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def train_unigram(docs: DataFrame, text_col: str = "text",
                   vocab_size: int = 1000) -> tuple[DataFrame, int]:
-    """Returns (vocab frame ``(word, cnt)``, total word count)."""
+    """Returns (vocab frame ``(word, cnt)``, total word count).
+
+    One Spark action at model-build time: the top-k vocabulary and the
+    corpus word total ride the same collect (the total is a sentinel
+    null-word row unioned under the top-k; both branches share the one
+    word-count aggregate via exchange reuse).  The collected vocab
+    (≤ ``vocab_size`` rows) is re-created as a local frame, so the
+    scoring job broadcasts a materialized table instead of re-running
+    the corpus aggregation — the persisted-vocab-table shape the
+    docstring above describes, in miniature."""
     words = docs.select(
         F.explode(F.expr(WORDS_EXPR.format(col=text_col))).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
-    vocab = (
+    topk = (
         counts.orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(vocab_size)
+        .select("word", F.col("cnt").cast("bigint").alias("cnt"))
     )
-    return vocab, int(total)
+    total_row = counts.agg(
+        F.lit(None).cast("string").alias("word"),
+        F.sum("cnt").cast("bigint").alias("cnt"),
+    )
+    rows = topk.unionByName(total_row).collect()
+    total = 0
+    vocab_data = []
+    for r in rows:
+        if r["word"] is None:
+            total = int(r["cnt"] or 0)
+        else:
+            vocab_data.append((r["word"], int(r["cnt"])))
+    vocab = docs.sparkSession.createDataFrame(
+        vocab_data, "word string, cnt bigint"
+    )
+    return vocab, total
 
 
 def unigram_logprob_scores(

@@ -161,6 +161,27 @@ def embedding_near_dup_pairs(
     )
 
 
+def make_ivf_cell_udf(cids: np.ndarray, cmat: np.ndarray):
+    """Vectorized nearest-centroid assignment: one BLAS matmul + argmax
+    per Arrow batch against the (driver-collected, closure-broadcast)
+    normalized centroid matrix.  Rows are ordered by ascending centroid
+    id so ``argmax`` (first max wins) matches the crossJoin path's
+    min-id tie-break."""
+    order = np.argsort(cids, kind="stable")
+    cids = np.asarray(cids)[order]
+    cmat = np.asarray(cmat, dtype=np.float64)[order]
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        idx = np.argmax(vn @ cn.T, axis=1)
+        return pd.Series(cids[idx].astype(np.int64))
+
+    return cell_udf
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -168,15 +189,40 @@ def ivf_assign(
     vec_col: str = "embedding",
     cid_col: str = "cid",
     cvec_col: str = "cv",
+    method: str = "auto",
+    matmul_threshold: int = 64,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid by cosine (ties break on centroid id).
 
-    The centroid table is tiny (≤ ~2^16 rows) ⇒ broadcast; the argmax
-    is a map-side-combinable ``max_by`` groupBy.  At 100 TB this runs
-    once at index-build time and the corpus is written partitioned /
+    Two physical strategies with identical semantics:
+
+    - ``crossjoin`` — broadcast the centroid frame, score every
+      (vector, centroid) pair JVM-side, ``max_by`` argmax (map-side
+      combinable).  Fully SQL-expressible (it IS the DuckDB oracle for
+      ``ann_ivf_cosine``), but the explode is a ``n_centroids``× row
+      blowup — fine at tens of centroids, fatal at 2^16.
+    - ``matmul`` — collect the (tiny) centroid frame to the driver,
+      closure-broadcast the normalized matrix into a pandas UDF, and do
+      one BLAS matmul + argmax per Arrow batch: O(batch × dim ×
+      n_centroids) FLOPs with no row blowup, the only sane shape at
+      real centroid counts.
+
+    ``auto`` counts the centroid frame (one tiny action) and picks
+    matmul above ``matmul_threshold``.  At 100 TB assignment runs once
+    at index-build time and the corpus is written partitioned /
     clustered by ``cell`` so a query's probe touches only its cells.
     """
+    if method == "auto":
+        method = "matmul" if centroids.count() > matmul_threshold else "crossjoin"
+    if method == "matmul":
+        rows = centroids.select(F.col(cid_col), F.col(cvec_col)).collect()
+        cids = np.array([r[0] for r in rows], dtype=np.int64)
+        cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        udf = make_ivf_cell_udf(cids, cmat)
+        return embeddings.select(
+            F.col(id_col), udf(F.col(vec_col)).alias("cell"), F.col(vec_col)
+        )
     scored = embeddings.crossJoin(
         F.broadcast(centroids.select(F.col(cid_col), F.col(cvec_col)))
     ).select(
@@ -197,6 +243,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_method: str = "auto",
 ) -> DataFrame:
     """IVF search: probe the ``n_probe`` cells nearest the query, exact
     cosine rerank within them.
@@ -211,7 +258,8 @@ def ivf_topk(
     centroids = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
+                          method=assign_method)
     qrow = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__q")
     )

@@ -30,10 +30,17 @@ def write_jsonl_corpus(
     compression: str = "gzip",
     mode: str = "overwrite",
 ) -> int:
-    """Write ``df`` as sharded JSONL; returns the row count written."""
-    out = df.select(*columns) if columns else df
-    n = out.count()
-    if records_per_shard:
-        out = out.repartition(max(1, math.ceil(n / records_per_shard)))
-    out.write.mode(mode).option("compression", compression).json(path)
+    """Write ``df`` as sharded JSONL; returns the row count written.
+
+    The frame is persisted around the count + write so an expensive
+    upstream plan (a curate output, say) executes once, not twice."""
+    base = (df.select(*columns) if columns else df).persist()
+    try:
+        n = base.count()
+        out = base
+        if records_per_shard:
+            out = base.repartition(max(1, math.ceil(n / records_per_shard)))
+        out.write.mode(mode).option("compression", compression).json(path)
+    finally:
+        base.unpersist()
     return n

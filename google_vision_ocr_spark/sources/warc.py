@@ -72,7 +72,18 @@ def iter_warc_records(data: bytes):
         for line in data[off:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers["content-length"])
+        raw_len = headers.get("content-length")
+        if raw_len is None or not raw_len.isdigit():
+            raise ValueError(
+                f"WARC record at offset {off}: missing or malformed "
+                f"Content-Length {raw_len!r}"
+            )
+        length = int(raw_len)
+        if hdr_end + 4 + length > n:
+            raise ValueError(
+                f"WARC record at offset {off}: Content-Length {length} "
+                f"overruns segment ({n - hdr_end - 4} bytes left)"
+            )
         block = data[hdr_end + 4 : hdr_end + 4 + length]
         yield headers, block
         off = hdr_end + 4 + length

@@ -148,11 +148,30 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     from google_vision_ocr_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    full = [(r["vec_id"], r["cos_sim"]) for r in
-            ivf_topk(emb, query_id=0, k=10, centroid_mod=31, n_probe=10_000).collect()]
     bf = [(r["vec_id"], r["cos_sim"]) for r in
           cosine_topk(emb, query_id=0, k=10).collect()]
-    assert full == bf
+    for method in ("crossjoin", "matmul"):
+        full = [(r["vec_id"], r["cos_sim"]) for r in
+                ivf_topk(emb, query_id=0, k=10, centroid_mod=31, n_probe=10_000,
+                         assign_method=method).collect()]
+        assert full == bf, method
+
+
+def test_ivf_assign_matmul_agrees_with_crossjoin(spark):
+    """The BLAS matmul-argmax path (the only sane shape at real
+    centroid counts — crossjoin is a n_centroids-fold row blowup) must
+    produce the same cell assignment as the SQL-expressible path."""
+    from pyspark.sql import functions as F
+    from google_vision_ocr_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    a = {r["vec_id"]: r["cell"]
+         for r in ivf_assign(emb, cents, method="crossjoin").collect()}
+    b = {r["vec_id"]: r["cell"]
+         for r in ivf_assign(emb, cents, method="matmul").collect()}
+    assert a == b
 
 
 def test_ivf_partial_probe_is_subset_of_corpus_and_sorted(spark):

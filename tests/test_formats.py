@@ -124,3 +124,26 @@ def test_jpeg_tiff_dimension_headers():
     )
     assert formats.sniff_format(real) == "JPEG"
     assert formats.jpeg_dimensions(real) == (640, 480, 3)
+
+
+def test_tiff_tags_reject_array_valued_entries():
+    """A multi-strip TIFF stores an OFFSET in StripOffsets' value field;
+    reading it as an inline scalar would hand decode_tiff_gray a garbage
+    pixel pointer.  count != 1 must raise, not misread."""
+    import struct
+    import numpy as np
+    import pytest
+    from google_vision_ocr_spark import formats
+
+    base = formats.encode_tiff_gray(np.zeros((4, 4), dtype=np.uint8))
+    # rewrite the StripOffsets entry (tag 273) to claim count=2
+    (ifd_off,) = struct.unpack_from("<I", base, 4)
+    (n,) = struct.unpack_from("<H", base, ifd_off)
+    buf = bytearray(base)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", buf, off)
+        if tag == 273:
+            struct.pack_into("<HHI", buf, off, tag, typ, 2)
+    with pytest.raises(ValueError, match="count 2"):
+        formats.tiff_dimensions(bytes(buf))

@@ -164,6 +164,40 @@ def test_canonicalize_url_rules(spark):
     assert hp[2]["h"] == "a.b.c" and hp[2]["d"] == "b.c"
 
 
+def test_registrable_domain_with_public_suffix_list(spark):
+    """The PSL path must pick the LONGEST matching suffix (co.uk beats
+    uk) and fall back to the last-two-labels heuristic for hosts no
+    suffix matches."""
+    from google_vision_ocr_spark.functions.urls import with_registrable_domain
+
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("uk",), ("co.uk",), ("ac.uk",), ("gov.uk",),
+         ("io",), ("jp",), ("co.jp",), ("net",)],
+        ["suffix"],
+    )
+    rows = [
+        (1, "https://news.bbc.co.uk/politics"),     # multi-label suffix
+        (2, "https://www2.example.com/x"),
+        (3, "https://a.b.cam.ac.uk/"),
+        (4, "https://direct.gov.uk/"),              # host == label + suffix
+        (5, "https://weird.host.zz/"),              # no PSL match -> heuristic
+        (6, "https://shop.co.jp/"),                 # domain is exactly 1+suffix
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r["domain"]
+           for r in with_registrable_domain(df, "url", psl=psl).collect()}
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.com"
+    assert got[3] == "cam.ac.uk"
+    assert got[4] == "direct.gov.uk"
+    assert got[5] == "host.zz"
+    assert got[6] == "shop.co.jp"
+    # no-PSL call keeps the documented heuristic
+    got2 = {r["id"]: r["domain"]
+            for r in with_registrable_domain(df, "url").collect()}
+    assert got2[1] == "co.uk"  # heuristic is wrong here, by design
+
+
 def test_unigram_scores_rank_in_vs_out_of_distribution(spark):
     from google_vision_ocr_spark.operators.scoring import unigram_logprob_scores
 

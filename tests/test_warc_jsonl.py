@@ -92,3 +92,20 @@ def test_write_jsonl_corpus(spark, tmp_path):
     # round-trips through spark.read.json
     back = spark.read.json(dest)
     assert back.count() == 100 and set(back.columns) == {"url", "text"}
+
+
+def test_warc_malformed_content_length_raises_descriptive():
+    import pytest
+    from google_vision_ocr_spark.sources.warc import iter_warc_records
+
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: nope\r\n\r\nbody")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(bad))
+    missing = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(missing))
+    overrun = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: 9999\r\n\r\nshort")
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_warc_records(overrun))
