@@ -741,6 +741,171 @@ def _curate_documents(spark, sf_dir):
                           F.round("quality", 4).alias("quality"))
 
 
+def _asof_purchase_view(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each purchase event
+    picks up the user's most recent at-or-before view event via the
+    union + keyed-window construction in operators/asof.py — one
+    shuffle of |L|+|R| rows, per-key work bounded by events-per-user.
+    The oracle replays the identical construction, so tie handling
+    (right-before-left at equal ts, largest event_id wins) is pinned."""
+    from google_vision_ocr_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.col("ts").alias("view_ts"), F.col("value").alias("view_value"),
+    )
+    joined = asof_join(
+        purchases, views,
+        key_cols=["user_id"], ts_col="ts",
+        payload_cols=["view_ts", "view_value"], tiebreak_col="event_id",
+    )
+    # null-safe gate projection: no-prior-view sentinels keep the hash
+    # free of nullable-timestamp encoding differences across engines
+    return joined.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.coalesce(F.unix_micros(F.col("view_ts").cast("timestamp")), F.lit(-1))
+        .alias("view_ts_us"),
+        F.coalesce(F.col("view_value"), F.lit(-1.0)).alias("view_value"),
+    )
+
+
+def _events_rollup(spark, sf_dir):
+    """OLAP rollup: per (event_type, day) + per event_type + grand
+    total in one pass (partial-agg friendly), with the grouping-id
+    bitmask distinguishing the levels.  Money sums are decimal-exact
+    (the r2 tpch_q3 lesson)."""
+    e = _t(spark, sf_dir, "events")
+    rolled = (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double").alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+    # rolled-up levels surface as 'ALL' (gid already disambiguates);
+    # keeps the hash free of nullable-timestamp encodings
+    return rolled.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.date_format(F.col("day"), "yyyy-MM-dd"), F.lit("ALL"))
+        .alias("day"),
+        "n_events", "sum_value", "gid",
+    )
+
+
+def _retention_cohorts(spark, sf_dir):
+    """Cohort retention: users cohorted by first-activity week, counted
+    in each later week they were active — two hash-aggs and one join on
+    user_id, all-integer output."""
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("bigint")
+    ev = e.select("user_id", week.alias("week")).distinct()
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"), "user_id")
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _kmeans_assignments(spark, sf_dir):
+    """Two Lloyd iterations of cosine k-means (deterministic init:
+    every 31st vector) — the iterative-algorithm shape, integer-valued
+    output, full-algorithm SQL oracle (both rounds replayed)."""
+    from google_vision_ocr_spark.operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, centroid_mod=31, iters=2)
+
+
+def _tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: a 6-way star join — three broadcast dims
+    (region→nation filter chain, supplier), customer/orders/lineitem
+    shuffled on their keys — with decimal-exact revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)), 2)
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+def _tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: semi-join against a HAVING aggregate (large
+    orders), then re-aggregate with customer detail attached."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 220)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum(qty), 2).cast("double").alias("sum_qty"))
+    )
+
+
+def _top_words_per_lang(spark, sf_dir):
+    """Heavy hitters: top-5 words per language by corpus frequency.
+    Two-phase top-k: per (lang, hash-bucket) top-5 first, then the
+    global top-5 over the ≤ 5×32 survivors — no window ever sorts a
+    whole language's vocabulary in one task."""
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.expr(WORDS_EXPR.format(col="text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bucket = F.pmod(F.xxhash64("word"), F.lit(32))
+    w_local = Window.partitionBy("lang", bucket).orderBy(
+        F.col("cnt").desc(), F.col("word")
+    )
+    w_global = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= 5)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "word", F.col("cnt").cast("bigint").alias("cnt"))
+    )
+
+
 def _warc_roundtrip(spark, sf_dir):
     """WARC IO under the driver gate: archive the documents table into
     per-source WARC segments (alternating plain/gzipped, the CC layout
@@ -840,6 +1005,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "curate_documents": _curate_documents,
         "warc_roundtrip": _warc_roundtrip,
+        "asof_purchase_view": _asof_purchase_view,
+        "events_rollup": _events_rollup,
+        "retention_cohorts": _retention_cohorts,
+        "kmeans_assignments": _kmeans_assignments,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q18_large_orders": _tpch_q18,
+        "top_words_per_lang": _top_words_per_lang,
     }
 
 
@@ -1503,6 +1675,139 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # replays the asof_join union+window construction verbatim so
+        # tie semantics (right-before-left at equal ts, largest
+        # event_id among tied right rows) are pinned, not assumed
+        "asof_purchase_view": """
+            WITH u AS (
+                SELECT event_id, user_id, ts, value AS purchase_value,
+                       CAST(NULL AS TIMESTAMP) AS view_ts,
+                       CAST(NULL AS DOUBLE) AS view_value, 1 AS side
+                FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT event_id, user_id, ts, NULL, ts, value, 0
+                FROM events WHERE event_type = 'view'
+            ), f AS (
+                SELECT event_id, user_id, ts, purchase_value, side,
+                       last_value(view_ts IGNORE NULLS) OVER w AS view_ts,
+                       last_value(view_value IGNORE NULLS) OVER w AS view_value
+                FROM u
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, side, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, ts, purchase_value,
+                   coalesce(epoch_us(view_ts), -1) AS view_ts_us,
+                   coalesce(view_value, -1.0) AS view_value
+            FROM f WHERE side = 1
+        """,
+        "events_rollup": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       value
+                FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(strftime(day, '%Y-%m-%d'), 'ALL') AS day,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS sum_value,
+                   CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+            FROM e
+            GROUP BY ROLLUP(event_type, day)
+        """,
+        "retention_cohorts": """
+            WITH ev AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(datediff('day', DATE '2024-01-01',
+                                           CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+                FROM events
+            ), first AS (
+                SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+            )
+            SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM ev e JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # full two-round Lloyd replay: init = every 31st vector,
+        # assign (min-cid tie-break) -> per-dim mean -> re-assign.
+        # dim is 64 (the embeddings table's width)
+        "kmeans_assignments": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), c0 AS (
+                SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0
+            ), a1 AS (
+                SELECT vec_id, v, cid AS cell FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(c.cv, e.v) DESC,
+                                        c.cid) AS rn
+                    FROM e CROSS JOIN c0 c
+                ) WHERE rn = 1
+            ), u1 AS (
+                SELECT cell, i, avg(v[i]) AS m
+                FROM a1 CROSS JOIN generate_series(1, 64) AS g(i)
+                GROUP BY cell, i
+            ), c1 AS (
+                SELECT cell AS cid, list(m ORDER BY i) AS cv FROM u1 GROUP BY cell
+            ), a2 AS (
+                SELECT vec_id, cid AS cell FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(c.cv, e.v) DESC,
+                                        c.cid) AS rn
+                    FROM e CROSS JOIN c1 c
+                ) WHERE rn = 1
+            )
+            SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'AMERICA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "tpch_q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 220)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
+        "top_words_per_lang": r"""
+            WITH counts AS (
+                SELECT lang, w AS word, count(*) AS cnt
+                FROM (SELECT lang, unnest(list_filter(
+                          string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS w
+                      FROM documents)
+                GROUP BY lang, w
+            )
+            SELECT lang, rank, word, CAST(cnt AS BIGINT) AS cnt FROM (
+                SELECT lang, word, cnt,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY cnt DESC, word) AS rank
+                FROM counts
+            ) WHERE rank <= 5
         """,
         # mirrors _warc_roundtrip's archive construction row-for-row:
         # a drift anywhere in the WARC codec path breaks this hash

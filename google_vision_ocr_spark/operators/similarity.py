@@ -281,6 +281,64 @@ def ivf_topk(
     )
 
 
+def kmeans_centroid_update(
+    assigned: DataFrame,
+    cell_col: str = "cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of member vectors per cell → ``(cid, cv)``.
+
+    Distributed shape: ``posexplode`` the vector, hash-agg the per
+    ``(cell, dim)`` mean (map-side combinable — never collects vectors
+    into one task), reassemble with ``array_sort(collect_list)`` whose
+    per-group size is the DIMENSION, not the member count.  Cells that
+    lost every member drop out, exactly like the SQL replay."""
+    per_dim = (
+        assigned.select(F.col(cell_col), F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+        .groupBy(cell_col, "__i")
+        .agg(F.avg("__x").alias("__m"))
+    )
+    return per_dim.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__i"), F.col("__m")))),
+            lambda s: s["__m"],
+        ).alias("cv")
+    ).select(F.col(cell_col).alias("cid"), "cv")
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    centroid_mod: int = 31,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_method: str = "crossjoin",
+) -> DataFrame:
+    """Lloyd's k-means by cosine: deterministic init (every
+    ``centroid_mod``-th vector), then ``iters`` rounds of assign →
+    centroid update, returning the final assignment ``(id, cell)``.
+
+    The iterative-algorithm shape on Spark: each round is one
+    broadcast-assign pass (crossjoin/``max_by`` or BLAS matmul, see
+    :func:`ivf_assign`) plus one hash-agg update; intermediate
+    centroids are tiny frames, so no lineage blowup at 2 iterations —
+    longer runs would ``persist`` (or collect) the centroid frame per
+    round, which :func:`ivf_assign`'s matmul path does implicitly by
+    collecting centroids to the driver.  Cell labels stay the
+    initializing vector's id throughout, so the output is
+    integer-valued and exactly replayable as a SQL oracle
+    (``kmeans_assignments``)."""
+    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col,
+                              method=assign_method)
+        cents = kmeans_centroid_update(assigned, "cell", vec_col)
+    return assigned.select(F.col(id_col), F.col("cell").cast("bigint").alias("cell"))
+
+
 def lsh_bucket_histogram(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,114 @@
+"""As-of join semantics and k-means Lloyd invariants."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_ties(spark):
+    from google_vision_ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01T10:00:00")),   # after v1 and v2
+            (11, 1, _ts("2024-01-01T08:30:00")),   # only v1 before
+            (12, 1, _ts("2024-01-01T07:00:00")),   # nothing before -> null
+            (13, 2, _ts("2024-01-01T09:00:00")),   # equal-ts view counts (<=)
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T08:00:00"), 1.0),
+            (2, 1, _ts("2024-01-01T09:00:00"), 2.0),
+            (3, 2, _ts("2024-01-01T09:00:00"), 3.0),
+            # two right rows tied on ts for user 3: largest event_id wins
+            (4, 3, _ts("2024-01-01T09:00:00"), 4.0),
+            (5, 3, _ts("2024-01-01T09:00:00"), 5.0),
+        ],
+        ["event_id", "user_id", "ts", "v"],
+    ).select("event_id", "user_id", "ts", F.col("v").alias("view_value"))
+    got = {
+        r["event_id"]: r["view_value"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["view_value"], tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got[10] == 2.0
+    assert got[11] == 1.0
+    assert got[12] is None
+    assert got[13] == 3.0
+
+    left3 = spark.createDataFrame(
+        [(20, 3, _ts("2024-01-01T10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    got3 = asof_join(
+        left3, right, ["user_id"], "ts", ["view_value"], tiebreak_col="event_id"
+    ).collect()
+    assert got3[0]["view_value"] == 5.0  # largest tiebreak among tied rows
+
+
+def test_asof_join_strict_inequality(spark):
+    from google_vision_ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T09:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(2, 1, _ts("2024-01-01T09:00:00"), 7.0)],
+        ["event_id", "user_id", "ts", "view_value"],
+    )
+    eq = asof_join(left, right, ["user_id"], "ts", ["view_value"],
+                   tiebreak_col="event_id", allow_equal=True).collect()
+    st = asof_join(left, right, ["user_id"], "ts", ["view_value"],
+                   tiebreak_col="event_id", allow_equal=False).collect()
+    assert eq[0]["view_value"] == 7.0
+    assert st[0]["view_value"] is None
+
+
+def test_kmeans_one_iter_equals_ivf_assign(spark):
+    """iters=1 is exactly coarse quantization against the init
+    centroids — pins the loop plumbing to the already-oracled
+    ivf_assign."""
+    from google_vision_ocr_spark.operators.similarity import ivf_assign, kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    a = {r["vec_id"]: r["cell"]
+         for r in ivf_assign(emb, cents, method="crossjoin").collect()}
+    k = {r["vec_id"]: r["cell"]
+         for r in kmeans_lloyd(emb, centroid_mod=31, iters=1).collect()}
+    assert a == k
+
+
+def test_kmeans_centroid_update_matches_numpy(spark):
+    import numpy as np
+
+    from google_vision_ocr_spark.operators.similarity import kmeans_centroid_update
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 2.0, 1.0]),
+        (1, [10.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["cell", "embedding"])
+    got = {r["cid"]: list(r["cv"]) for r in kmeans_centroid_update(df).collect()}
+    assert np.allclose(got[0], [2.0, 2.0, 2.0])
+    assert np.allclose(got[1], [10.0, 0.0, 0.0])
+
+
+def test_kmeans_assignment_methods_agree(spark):
+    from google_vision_ocr_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: r["cell"]
+         for r in kmeans_lloyd(emb, iters=2, assign_method="crossjoin").collect()}
+    b = {r["vec_id"]: r["cell"]
+         for r in kmeans_lloyd(emb, iters=2, assign_method="matmul").collect()}
+    assert a == b

@@ -28,7 +28,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # unify resolution too: Spark arrives as ns, DuckDB as us —
+            # identical instants otherwise compare as different epochs
+            df[c] = (pd.to_datetime(df[c]).dt.tz_localize(None)
+                     .astype("datetime64[us]"))
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
