@@ -906,6 +906,127 @@ def _top_words_per_lang(spark, sf_dir):
     )
 
 
+def _merge_upsert_snapshot(spark, sf_dir):
+    """Incremental MERGE: a deterministic delta (every 10th doc
+    re-crawled with doubled text length, every 25th deleted, 20 brand
+    new docs) merged into the documents snapshot via full-outer-join
+    upsert.  The oracle reconstructs the merged snapshot with CASE
+    arithmetic, so matched-update, append, carry-forward and
+    soft-delete paths are all hash-checked."""
+    from google_vision_ocr_spark.operators.merge import merge_upsert
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.lit("re").alias("lang"),
+            (F.col("n_chars") * 2).alias("n_chars"),
+            (F.col("doc_id") % 25 == 0).alias("is_delete"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit("new").alias("lang"),
+                F.col("n_chars"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    return merge_upsert(d, updates, ["doc_id"], delete_col="is_delete")
+
+
+def _events_user_lag(spark, sf_dir):
+    """Per-user sequential analytics: seconds since the user's previous
+    event (lag) and a 3-row moving average of value — the bounded
+    per-key window shape (events-per-user, never corpus-size)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wavg = w.rowsBetween(-2, 0)
+    val = F.col("value").cast("decimal(12,2)")
+    # moving avg = exact decimal sum cast to double, divided by the
+    # window count: both engines round the SAME double (the q1 pattern)
+    ma3 = F.round(
+        F.sum(val).over(wavg).cast("double") / F.count(F.lit(1)).over(wavg), 4
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.coalesce(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))) / 1000000,
+            F.lit(-1.0),
+        ).alias("delta_s"),
+        ma3.alias("value_ma3"),
+    )
+
+
+def _events_props_json(spark, sf_dir):
+    """Semi-structured column handling: parse the JSON props payload
+    JVM-side (get_json_object) and aggregate the extracted field —
+    no Python, pushdown-friendly scan."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def _url_domain_stats_psl(spark, sf_dir):
+    """PSL-aware registrable-domain rollup: hosts are constructed with
+    multi-label public suffixes (`co.uk`, `ac.uk`) where the last-two-
+    labels heuristic is WRONG, and the operator must pick the longest
+    matching suffix from a broadcast PSL frame.  The oracle constructs
+    the expected domain independently (source + chosen suffix), so a
+    longest-match bug — e.g. matching bare `uk` — shifts every co.uk
+    group and breaks the hash."""
+    from google_vision_ocr_spark.functions.urls import with_registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, "co.uk")
+        .when(F.col("doc_id") % 4 == 1, "com")
+        .when(F.col("doc_id") % 4 == 2, "ac.uk")
+        .otherwise("org")
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"), F.lit("."),
+            F.col("source"), F.lit("."), suffix, F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("uk",), ("co.uk",), ("ac.uk",)], ["suffix"]
+    )
+    return (
+        with_registrable_domain(u, "url", psl=psl)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").cast("bigint").alias("first_doc"))
+    )
+
+
+def _dedup_clusters(spark, sf_dir):
+    """Pairs → clusters: connected components (min-label propagation)
+    over the exact-Jaccard duplicate graph, the step that turns every
+    dedup family's pair output into "keep one doc per cluster".  The
+    oracle recomputes the same edge set and replays reachability with a
+    recursive CTE, so component IDS are hash-checked, not just sizes."""
+    from google_vision_ocr_spark.operators.components import connected_components
+    from google_vision_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def _warc_roundtrip(spark, sf_dir):
     """WARC IO under the driver gate: archive the documents table into
     per-source WARC segments (alternating plain/gzipped, the CC layout
@@ -1012,6 +1133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q18_large_orders": _tpch_q18,
         "top_words_per_lang": _top_words_per_lang,
+        "dedup_clusters": _dedup_clusters,
+        "url_domain_stats_psl": _url_domain_stats_psl,
+        "merge_upsert_snapshot": _merge_upsert_snapshot,
+        "events_user_lag": _events_user_lag,
+        "events_props_json": _events_props_json,
     }
 
 
@@ -1809,6 +1935,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             ) WHERE rank <= 5
         """,
+        # independent CASE-arithmetic reconstruction of the merged
+        # snapshot: matched-update, soft-delete (doc_id % 50 == 0),
+        # append, and carry-forward paths all hash-checked
+        "merge_upsert_snapshot": """
+            WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 're' ELSE lang END AS lang,
+                   CASE WHEN doc_id % 10 = 0 THEN n_chars * 2
+                        ELSE n_chars END AS n_chars
+            FROM d
+            WHERE NOT (doc_id % 10 = 0 AND doc_id % 25 = 0)
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, 'new' AS lang, n_chars
+            FROM d WHERE doc_id < 20
+        """,
+        "events_user_lag": """
+            SELECT event_id, user_id,
+                   coalesce((epoch_us(ts) - epoch_us(lag(ts, 1) OVER w))
+                            / 1000000, -1.0) AS delta_s,
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w3
+                              AS DOUBLE) / count(*) OVER w3, 4) AS value_ma3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "events_props_json": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        # independent construction of the expected registrable domain:
+        # the longest PSL suffix is the one planted per doc, so the
+        # domain is source || '.' || suffix by arithmetic, while the
+        # engine must DERIVE it via longest-suffix matching
+        "url_domain_stats_psl": """
+            WITH m AS (
+                SELECT doc_id, source,
+                       CASE CAST(doc_id % 4 AS INTEGER)
+                            WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                            WHEN 2 THEN 'ac.uk' ELSE 'org' END AS suffix
+                FROM documents
+            )
+            SELECT source || '.' || suffix AS domain,
+                   count(*) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM m GROUP BY 1
+        """,
         # mirrors _warc_roundtrip's archive construction row-for-row:
         # a drift anywhere in the WARC codec path breaks this hash
         "warc_roundtrip": """
@@ -1826,6 +2003,40 @@ def oracle_sql() -> dict[str, str]:
         # (64-bit keyed blake2b — injective at this scale) so distinct
         # counts and the Jaccard ratio are identical to the string form
         "dedup_ngram_jaccard": _exact_jaccard_oracle(0.5),
+        # same >=0.5 exact-Jaccard edge set, components via recursive
+        # reachability; component id = min node id, like the engine
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.n, b.n
+                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT u AS node, v AS r FROM edges
+                UNION
+                SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+            )
+            SELECT node AS doc_id,
+                   CAST(least(node, min(r)) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
         # containment twins: the Spark queries semi-join the exact
         # >=0.8 pairs against the MinHash-LSH / SimHash candidate sets,
         # so the oracle is the exact set alone — a recall miss in

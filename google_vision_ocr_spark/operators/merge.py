@@ -1,0 +1,57 @@
+"""Snapshot MERGE (upsert) — the incremental-pipeline primitive.
+
+A recurring crawl doesn't rewrite the corpus; it merges a delta:
+re-fetched pages replace their old rows, new pages append, everything
+else carries forward.  Iceberg/Delta ship this as ``MERGE INTO``; on
+plain DataFrames the same semantics are one FULL OUTER join on the key
+with column-wise ``coalesce`` (updates win) — the shuffle is keyed by
+the merge key on both sides, so at 100 TB it rides the same
+partitioning the table is already bucketed by (zero extra exchange on
+a bucketed/Iceberg layout, see ``sources/catalog.py``), and the delta
+side is typically small enough to broadcast.
+
+Deletes are the standard soft-delete convention: a boolean
+``is_delete`` column on the delta filters matched rows out of the new
+snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """New snapshot: updates replace matched target rows, unmatched
+    updates append, unmatched target rows carry forward.  ``updates``
+    must carry the same columns as ``target`` (plus optionally
+    ``delete_col``)."""
+    value_cols = [c for c in target.columns if c not in key_cols]
+    t = target.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__t_{c}") for c in value_cols],
+    )
+    u_cols = [F.col(c).alias(f"__u_{c}") for c in value_cols]
+    if delete_col is not None:
+        u_cols.append(F.col(delete_col).alias("__del"))
+    u = updates.select(*[F.col(c) for c in key_cols], *u_cols)
+    # matched-marker: non-nullable literal survives the outer join as
+    # null on the unmatched side even when every payload column is null
+    u = u.withColumn("__matched", F.lit(True))
+    j = t.join(u, key_cols, "full_outer")
+    if delete_col is not None:
+        j = j.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    return j.select(
+        *[F.col(c) for c in key_cols],
+        *[
+            F.when(F.col("__matched").isNotNull(), F.col(f"__u_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

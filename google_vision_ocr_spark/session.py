@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # saveAsTable (bucketed layouts) must never litter the repo cwd
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/spark_graft_derby")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

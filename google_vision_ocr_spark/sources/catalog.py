@@ -62,6 +62,29 @@ def write_pages_partitioned(df: DataFrame, path: str, n_buckets: int = 16,
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a frame bucketed (and optionally sorted) on its join key.
+
+    This is the CO-LOCATED JOIN layout: two tables bucketed on the same
+    key with the same bucket count join with ZERO exchange — at 100 TB
+    that deletes the single most expensive shuffle in any fact-fact
+    join (asserted in ``tests/test_plan_shapes.py``).  With Iceberg on
+    the classpath the equivalent is ``bucket(N, key)`` in the partition
+    spec; this writer uses the session catalog's parquet bucketing,
+    which Spark's scan planner exploits the same way."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(name)
+
+
 def read_pages_partitioned(
     spark: SparkSession,
     path: str,

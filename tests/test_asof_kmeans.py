@@ -112,3 +112,68 @@ def test_kmeans_assignment_methods_agree(spark):
     b = {r["vec_id"]: r["cell"]
          for r in kmeans_lloyd(emb, iters=2, assign_method="matmul").collect()}
     assert a == b
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, isolated pair — min-label propagation must find
+    the min node id of each component within diameter rounds."""
+    from google_vision_ocr_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> component 10
+         (20, 21)],                     # pair -> component 20
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_merge_upsert_paths(spark):
+    """Matched update, append, carry-forward, and soft delete."""
+    from google_vision_ocr_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "s", "n"])
+    updates = spark.createDataFrame(
+        [(2, "B", 200, False),   # update
+         (3, None, 0, True),     # delete
+         (9, "z", 90, False)],   # append
+        ["id", "s", "n", "is_delete"])
+    got = {r["id"]: (r["s"], r["n"])
+           for r in merge_upsert(target, updates, ["id"],
+                                 delete_col="is_delete").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 9: ("z", 90)}
+    # without a delete column the matched row is a plain update
+    got2 = {r["id"]: (r["s"], r["n"])
+            for r in merge_upsert(
+                target, updates.drop("is_delete"), ["id"]).collect()}
+    assert got2[3] == (None, 0)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted join must return exactly the plain join's rows while
+    spreading the hot key over n_salts sub-keys."""
+    from pyspark.sql import functions as F
+    from google_vision_ocr_spark.operators.skew import salted_join
+
+    # hot key: 90% of the big side is key 0
+    big = spark.createDataFrame(
+        [(i, 0 if i % 10 else i % 3, f"p{i}") for i in range(300)],
+        ["row_id", "k", "payload"])
+    small = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")],
+                                  ["k", "name"])
+    plain = {(r["row_id"], r["name"])
+             for r in big.join(small, "k").collect()}
+    salted = salted_join(big, small, ["k"], n_salts=8)
+    got = {(r["row_id"], r["name"]) for r in salted.collect()}
+    assert got == plain
+    # the hot key's big-side rows really do carry several distinct salts
+    n_salt_values = (
+        big.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                                        F.lit(8)))
+        .filter(F.col("k") == 0).select("__salt").distinct().count())
+    assert n_salt_values >= 4

@@ -145,3 +145,29 @@ def test_pack_shards_windows_are_bounded_by_spark_partition(spark):
     assert specs, plan
     for spec in specs:
         assert "__pid" in spec, spec
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange — the co-located-join
+    layout that deletes the fact-fact shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+    from google_vision_ocr_spark.sources.catalog import write_bucketed
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x"))
+    scores = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("y"))
+    write_bucketed(docs, "t_bucket_docs", "doc_id", n_buckets=4, sort_col="doc_id")
+    write_bucketed(scores, "t_bucket_scores", "doc_id", n_buckets=4, sort_col="doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bucket_docs").join(spark.table("t_bucket_scores"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_docs")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_scores")
