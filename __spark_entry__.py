@@ -418,7 +418,7 @@ def _lm_unigram_scores(spark, sf_dir):
 def _pack_shards_manifest(spark, sf_dir):
     """Token-budget shard packing (sequence-packing layout): documents
     pack into ~2000-token shards within each language partition via a
-    windowed cumulative sum; the manifest is one row per shard."""
+    two-pass distributed prefix sum; the manifest is one row per shard."""
     from google_vision_ocr_spark.operators.packing import shard_manifest
     from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
 
@@ -974,6 +974,74 @@ def _events_props_json(spark, sf_dir):
     )
 
 
+def _events_pivot_daily(spark, sf_dir):
+    """PIVOT: one row per day, one count column per event type.  Spark
+    plans pivot as a single pass of conditional aggregates (no extra
+    shuffle vs the base groupBy); the oracle states the same thing as
+    explicit FILTERed counts."""
+    e = _t(spark, sf_dir, "events")
+    types = ["signup", "click", "view", "purchase", "error"]
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def _events_funnel(spark, sf_dir):
+    """Conversion funnel: users who signed up, clicked AFTER their
+    first signup, and purchased AFTER that first click — three ordered
+    min-timestamp aggregates per user, then one global rollup.  The
+    per-user frame is a single hash-agg (conditional min), no window."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+    )
+    # first click after signup needs the signup time first: one more
+    # conditional pass joined back (broadcast — per-user frame is small
+    # relative to events, and keyed identically)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    first_click_after = (
+        clicks.join(per_user.select("user_id", "t_signup"), "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    purchased_after = (
+        purchases.join(first_click_after, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .select("user_id")
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    flags = (
+        per_user.join(first_click_after, "user_id", "left")
+        .join(purchased_after, "user_id", "left")
+    )
+    return flags.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signed_up"),
+        F.count("t_click").alias("n_clicked_after"),
+        F.count("__p").alias("n_purchased_after"),
+    )
+
+
+def _events_daily_distinct(spark, sf_dir):
+    """Daily actives: exact distinct users per day (the two-phase
+    distinct-agg shuffle shape) plus event count."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def _url_domain_stats_psl(spark, sf_dir):
     """PSL-aware registrable-domain rollup: hosts are constructed with
     multi-label public suffixes (`co.uk`, `ac.uk`) where the last-two-
@@ -1135,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
         "url_domain_stats_psl": _url_domain_stats_psl,
+        "events_pivot_daily": _events_pivot_daily,
+        "events_funnel": _events_funnel,
+        "events_daily_distinct": _events_daily_distinct,
         "merge_upsert_snapshot": _merge_upsert_snapshot,
         "events_user_lag": _events_user_lag,
         "events_props_json": _events_props_json,
@@ -1934,6 +2005,42 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cnt DESC, word) AS rank
                 FROM counts
             ) WHERE rank <= 5
+        """,
+        "events_pivot_daily": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS purchase,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+            FROM events GROUP BY 1
+        """,
+        "events_funnel": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(ts) FILTER (event_type = 'signup') AS t_signup
+                FROM events GROUP BY user_id
+            ), fca AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN pu USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > pu.t_signup
+                GROUP BY e.user_id
+            ), pa AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN fca USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > fca.t_click
+            )
+            SELECT CAST((SELECT count(*) FROM pu WHERE t_signup IS NOT NULL)
+                        AS BIGINT) AS n_signed_up,
+                   CAST((SELECT count(*) FROM fca) AS BIGINT) AS n_clicked_after,
+                   CAST((SELECT count(*) FROM pa) AS BIGINT) AS n_purchased_after
+        """,
+        "events_daily_distinct": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         # independent CASE-arithmetic reconstruction of the merged
         # snapshot: matched-update, soft-delete (doc_id % 50 == 0),
