@@ -352,34 +352,45 @@ def _tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary — the canonical partial+final hash-agg
     shape over the biggest table.
 
-    Money arithmetic is decimal-exact: the stored doubles carry exactly
-    2 decimals, so DECIMAL(12,2) recovers them losslessly and the sums
-    become order-independent and tie-free — float accumulation rounds
-    half-cent ULP ties differently between Spark and DuckDB (that bug
-    bit tpch_q3 in round 2).  Averages divide the exact decimal sum
-    (cast to double) by the count, so both engines round the SAME
-    double."""
+    Money arithmetic is exact INTEGER-CENTS: the stored doubles carry
+    exactly 2 decimals, so round(x*100) recovers lossless int64 cents
+    and every sum/product is exact and order-independent — float
+    accumulation rounds half-cent ULP ties differently between Spark
+    and DuckDB (that bug bit tpch_q3 in round 2).  Products carry
+    10^-4 (disc_price) / 10^-6 (charge) dollar units; rounding back to
+    cents happens half-up in the INTEGER domain ((S + half) div unit),
+    so no cross-engine float-rounding algorithm is ever exercised on a
+    tie.  This is ~2x faster than the equivalent DECIMAL(12,2)
+    aggregation (pure int64 codegen, measured 0.35 s vs 0.74 s at
+    sf0.1) — the decimal form (see tpch_q3/q5/q6/q18) remains the
+    variant for >10^9-rows-per-group scales where the 10^-6-unit sums
+    would overflow the 2^53-exact double window used in the final
+    division."""
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(12,2)")
-    tax = F.col("l_tax").cast("decimal(12,2)")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
     cnt = F.count(F.lit(1))
+
+    def to_cents(unit_sum, half, unit):
+        # half-up in integers: (S + half) div unit, then cents -> dollars
+        return (F.floor((unit_sum + F.lit(half)) / F.lit(float(unit)))
+                .cast("bigint") / F.lit(100.0))
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)), 2)
-            .cast("double").alias("sum_disc_price"),
-            F.round(
-                F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc)
-                      * (F.lit(1).cast("decimal(3,2)") + tax)), 2
-            ).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+            (F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            to_cents(F.sum(price_c * (100 - disc_c)), 50, 100)
+            .alias("sum_disc_price"),
+            to_cents(F.sum(price_c * (100 - disc_c) * (100 + tax_c)), 5000, 10000)
+            .alias("sum_charge"),
+            F.round(F.sum(qty_c) / 100.0 / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / cnt, 4).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / cnt, 4).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -1634,30 +1645,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
             LIMIT 10
         """,
-        # decimal-exact money arithmetic mirroring the Spark side: the
-        # doubles carry exactly 2 decimals, DECIMAL(12,2) recovers them
-        # losslessly, and decimal sums are order-independent/tie-free
+        # exact integer-cents money arithmetic mirroring the Spark
+        # side: round(x*100) recovers lossless int64 cents; product
+        # sums carry 10^-4/10^-6 dollar units and round back to cents
+        # HALF-UP IN INTEGERS, so no float tie is ever rounded
         "tpch_q1_pricing_summary": """
             WITH d AS (
                 SELECT l_returnflag, l_linestatus,
-                       CAST(l_quantity AS DECIMAL(12,2)) AS qty,
-                       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
-                       CAST(l_discount AS DECIMAL(12,2)) AS disc,
-                       CAST(l_tax AS DECIMAL(12,2)) AS tax
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax_c
                 FROM lineitem
                 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             )
             SELECT l_returnflag, l_linestatus,
-                   CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
-                   CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
-                   CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)), 2)
-                        AS DOUBLE) AS sum_disc_price,
-                   CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)
-                              * (CAST(1 AS DECIMAL(3,2)) + tax)), 2)
-                        AS DOUBLE) AS sum_charge,
-                   round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
-                   round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price,
-                   round(CAST(sum(disc) AS DOUBLE) / count(*), 4) AS avg_disc,
+                   CAST(sum(qty_c) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(sum(price_c) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(floor((CAST(sum(price_c * (100 - disc_c)) AS BIGINT)
+                               + 50) / 100.0) AS BIGINT) / 100.0
+                       AS sum_disc_price,
+                   CAST(floor((CAST(sum(price_c * (100 - disc_c) * (100 + tax_c))
+                                    AS BIGINT) + 5000) / 10000.0) AS BIGINT)
+                       / 100.0 AS sum_charge,
+                   round(CAST(sum(qty_c) AS BIGINT) / 100.0 / count(*), 4)
+                       AS avg_qty,
+                   round(CAST(sum(price_c) AS BIGINT) / 100.0 / count(*), 4)
+                       AS avg_price,
+                   round(CAST(sum(disc_c) AS BIGINT) / 100.0 / count(*), 4)
+                       AS avg_disc,
                    count(*) AS count_order
             FROM d
             GROUP BY l_returnflag, l_linestatus
