@@ -82,6 +82,16 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours",
+                 key: str = "event_id") -> DataFrame:
+    """Streaming exactly-once-per-key: ``dropDuplicatesWithinWatermark``
+    keeps each key's state only for the watermark horizon — the
+    at-scale requirement (a 10^12-event stream with unbounded dedup
+    state OOMs; a re-delivered event more than ``watermark`` late is
+    out of contract, same as every at-least-once ingestion pipeline)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
 def streaming_extract_items(pages_stream: DataFrame) -> DataFrame:
     """Stage 1 of the fused extraction plan over a stream — identical
     code path (mapInPandas is streaming-compatible)."""

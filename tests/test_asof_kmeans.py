@@ -177,3 +177,25 @@ def test_salted_join_equals_plain_join(spark):
                                         F.lit(8)))
         .filter(F.col("k") == 0).select("__salt").distinct().count())
     assert n_salt_values >= 4
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Vectors planted in 3 well-separated directions must co-assign
+    with their plant-mates after 2 Lloyd iterations, regardless of
+    which seed vectors initialized the centroids."""
+    from google_vision_ocr_spark.operators.similarity import kmeans_lloyd
+
+    dim = 16
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = [0.0] * dim
+        base[c * 5] = 10.0                    # three orthogonal anchors
+        base[(c * 5) + 1] = 1.0 + (i % 7) * 0.1  # small within-cluster spread
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["cell"]
+           for r in kmeans_lloyd(df, centroid_mod=31, iters=2).collect()}
+    # centroid_mod=31 seeds ids 0, 31, 62 — clusters 0, 1, 2 (mod 3)
+    for i in range(90):
+        assert got[i] == got[i % 3], (i, got[i], got[i % 3])

@@ -171,3 +171,21 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucket_docs")
         spark.sql("DROP TABLE IF EXISTS t_bucket_scores")
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of union trick must cost exactly one exchange (on the
+    key) — the whole point vs the per-key-cartesian theta join."""
+    from google_vision_ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1)], "event_id long, user_id long"
+    ).withColumn("ts", F.current_timestamp())
+    right = spark.createDataFrame(
+        [(2, 1, 5.0)], "event_id long, user_id long, v double"
+    ).withColumn("ts", F.current_timestamp()).select(
+        "event_id", "user_id", "ts", F.col("v").alias("view_value"))
+    plan = _plan(asof_join(left, right, ["user_id"], "ts", ["view_value"],
+                           tiebreak_col="event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -51,3 +51,29 @@ def test_streaming_extraction_stage_matches_batch(spark, fixture_dir, tmp_path):
     assert g == b
     n_rows = pq.read_metadata(fixture_dir["pages"]).num_rows
     assert len({u for u, _ in g}) == n_rows
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """A doubled input stream (every event delivered twice, in two
+    files) dedupes back to exactly the batch-distinct rows."""
+    import shutil
+
+    from google_vision_ocr_spark.streaming.events import (
+        dedup_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(src, "events_a.parquet"))
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(src, "events_b.parquet"))
+
+    stream = read_event_stream(spark, src)
+    got = run_available_now(
+        dedup_stream(stream), str(tmp_path / "ckpt_dedup"),
+        query_name="dedup_stream_t",
+    )
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
