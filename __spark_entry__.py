@@ -890,6 +890,29 @@ def _tpch_q18(spark, sf_dir):
     )
 
 
+def _tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promo-revenue shape: fact⋈dim join (part broadcast)
+    feeding a conditional aggregate ratio; decimal-exact money."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(3,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)"))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"), 4
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+
+
 def _top_words_per_lang(spark, sf_dir):
     """Heavy hitters: top-5 words per language by corpus frequency.
     Two-phase top-k: per (lang, hash-bucket) top-5 first, then the
@@ -1211,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assignments": _kmeans_assignments,
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q14_promo_revenue": _tpch_q14,
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
         "url_domain_stats_psl": _url_domain_stats_psl,
@@ -2005,6 +2029,24 @@ def oracle_sql() -> dict[str, str]:
                 HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 220)
               AND c_custkey = o_custkey AND o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
+        "tpch_q14_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+            )
+            SELECT round(100.0
+                         * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                         ELSE CAST(0 AS DECIMAL(12,2)) END)
+                                AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 4) AS promo_revenue_pct,
+                   CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+            FROM j
         """,
         "top_words_per_lang": r"""
             WITH counts AS (
