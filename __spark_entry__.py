@@ -1129,6 +1129,28 @@ def _dedup_clusters(spark, sf_dir):
     )
 
 
+def _dedup_keep_one(spark, sf_dir):
+    """The dedup endgame: keep exactly one document per duplicate
+    CLUSTER (the min doc id), everything unclustered survives.
+    Composes connected components with an anti-join of the cluster
+    losers — the operation every pair-emitting dedup family ultimately
+    feeds.  Oracle: same recursive reachability, losers = nodes whose
+    component id differs from their own id."""
+    from google_vision_ocr_spark.operators.components import connected_components
+    from google_vision_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def _warc_roundtrip(spark, sf_dir):
     """WARC IO under the driver gate: archive the documents table into
     per-source WARC segments (alternating plain/gzipped, the CC layout
@@ -1237,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_revenue": _tpch_q14,
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
+        "dedup_keep_one": _dedup_keep_one,
         "url_domain_stats_psl": _url_domain_stats_psl,
         "events_pivot_daily": _events_pivot_daily,
         "events_funnel": _events_funnel,
@@ -2201,6 +2224,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id,
                    CAST(least(node, min(r)) AS BIGINT) AS component
             FROM reach GROUP BY node
+        """,
+        "dedup_keep_one": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.n, b.n
+                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT u AS node, v AS r FROM edges
+                UNION
+                SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+            ), losers AS (
+                SELECT node FROM reach GROUP BY node
+                HAVING least(node, min(r)) <> node
+            )
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
         """,
         # containment twins: the Spark queries semi-join the exact
         # >=0.8 pairs against the MinHash-LSH / SimHash candidate sets,

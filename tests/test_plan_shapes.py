@@ -189,3 +189,14 @@ def test_asof_join_is_single_shuffle(spark):
                            tiebreak_col="event_id"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_q5_q14_broadcast_their_dims(spark):
+    """The star-join dims (region/nation/supplier, part) must ride as
+    broadcasts; only the fact-fact joins may shuffle."""
+    import __spark_entry__ as e
+
+    q5 = _plan(e.queries()["tpch_q5_local_supplier"](spark, "/root/testdata/sf0.001"))
+    assert q5.count("BroadcastHashJoin") >= 3
+    q14 = _plan(e.queries()["tpch_q14_promo_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in q14
