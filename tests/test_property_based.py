@@ -1,0 +1,104 @@
+"""Property-based checks: core operators vs tiny pure-Python oracles.
+
+Hypothesis drives randomized inputs through the Spark operators and
+compares against direct sequential implementations — the class of test
+that catches tie-handling, empty-group, and boundary bugs the
+example-based suites miss.  Example counts are kept small because each
+example is a Spark job."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from google_vision_ocr_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(1, 400), min_size=1, max_size=40),
+    budget=st.integers(50, 600),
+)
+def test_pack_shards_matches_sequential_cumsum(spark, tokens, budget):
+    from google_vision_ocr_spark.operators.packing import pack_shards
+
+    rows = [(i, "en", t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "ws_tokens"])
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(df, budget=budget, num_partitions=5).collect()}
+    run = 0
+    for i, t in enumerate(tokens):
+        assert got[i] == run // budget, (i, got[i], run, budget)
+        run += t
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                              st.integers(0, 99)),
+                    min_size=1, max_size=15),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """<= semantics with deterministic tie-breaks: among right rows
+    with (ts < l.ts) or (ts == l.ts), the max (ts, event_id) wins."""
+    from datetime import datetime, timedelta, timezone
+
+    from google_vision_ocr_spark.operators.asof import asof_join
+
+    epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    lrows = [(1000 + i, k, epoch + timedelta(seconds=ts))
+             for i, (k, ts) in enumerate(lefts)]
+    rrows = [(2000 + i, k, epoch + timedelta(seconds=ts), float(v))
+             for i, (k, ts, v) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(rrows,
+                                  ["event_id", "user_id", "ts", "view_value"])
+    got = {r["event_id"]: r["view_value"]
+           for r in asof_join(left, right, ["user_id"], "ts", ["view_value"],
+                              tiebreak_col="event_id").collect()}
+    for lid, k, lts in lrows:
+        cands = [(rts, rid, v) for rid, rk, rts, v in rrows
+                 if rk == k and rts <= lts]
+        want = max(cands)[2] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
