@@ -25,8 +25,15 @@ Implementation notes:
 - convergence is checked with a single count of changed labels per
   round (one action per round, on an aggregate — not a collect of
   data);
-- each round's label frame is persisted and the previous round's
-  released, so lineage stays O(1) deep across iterations.
+- each round's label frame is cut from its lineage with
+  ``localCheckpoint(eager=True)``.  ``persist()`` alone is NOT enough
+  for an iterative DataFrame loop: the label frame feeds the next
+  round twice (propagation join + union), so the LOGICAL plan doubles
+  every round and Catalyst re-analyzes the whole tree — a 14-round
+  chain OOMs the driver on plan analysis long before any data is big.
+  Checkpointing truncates the plan to a leaf each round (the classic
+  Pregel-on-DataFrames requirement; a production run on preemptible
+  executors would use reliable ``checkpoint()`` to storage instead).
 
 The oracle (``dedup_clusters``) replays reachability with a recursive
 CTE over the same edge set, so the component ids — not just their
@@ -59,11 +66,11 @@ def connected_components(
     )
     sym = cache.track(sym.persist())
     # init: every node labels itself with the min of (itself, neighbors)
-    labels = cache.track(
+    labels = (
         sym.groupBy(F.col("u").alias("node"))
         .agg(F.min("v").alias("label"))
         .select("node", F.least("node", "label").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
         # propagate: every node adopts min(own label, neighbors' labels)
@@ -71,18 +78,17 @@ def connected_components(
             sym.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "label")
         )
-        new_labels = cache.track(
+        new_labels = (
             nbr.unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

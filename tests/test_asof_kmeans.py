@@ -199,3 +199,16 @@ def test_kmeans_recovers_planted_clusters(spark):
     # centroid_mod=31 seeds ids 0, 31, 62 — clusters 0, 1, 2 (mod 3)
     for i in range(90):
         assert got[i] == got[i % 3], (i, got[i], got[i % 3])
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 16-node path graph needs ~diameter rounds of label
+    propagation — well past the 2-3 rounds dedup graphs take — and
+    must still converge to a single component within max_rounds."""
+    from google_vision_ocr_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(16)}
