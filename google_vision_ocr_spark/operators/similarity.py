@@ -332,10 +332,16 @@ def kmeans_lloyd(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         assigned = ivf_assign(embeddings, cents, id_col, vec_col,
                               method=assign_method)
-        cents = kmeans_centroid_update(assigned, "cell", vec_col)
+        if it + 1 < iters:
+            # cut the per-round lineage: the centroid frame is tiny and
+            # feeds the next assignment — without truncation the plan
+            # nests once per round (the matmul path truncates naturally
+            # by collecting centroids to the driver)
+            cents = kmeans_centroid_update(assigned, "cell", vec_col) \
+                .localCheckpoint(eager=True)
     return assigned.select(F.col(id_col), F.col("cell").cast("bigint").alias("cell"))
 
 
