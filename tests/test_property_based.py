@@ -102,3 +102,55 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
                  if rk == k and rts <= lts]
         want = max(cands)[2] if cands else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+@SETTINGS
+@given(
+    target=st.dictionaries(st.integers(0, 15), st.integers(0, 99),
+                           min_size=1, max_size=10),
+    updates=st.dictionaries(st.integers(0, 20), st.tuples(st.integers(0, 99),
+                                                          st.booleans()),
+                            min_size=0, max_size=10),
+)
+def test_merge_upsert_matches_dict_semantics(spark, target, updates):
+    from google_vision_ocr_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(k, v) for k, v in target.items()], ["id", "n"])
+    u = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in updates.items()],
+        "id long, n long, is_delete boolean",
+    ) if updates else spark.createDataFrame([], "id long, n long, is_delete boolean")
+    got = {r["id"]: r["n"]
+           for r in merge_upsert(t, u, ["id"], delete_col="is_delete").collect()}
+    want = dict(target)
+    for k, (v, d) in updates.items():
+        if d:
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                 min_size=1, max_size=5),
+        min_size=1, max_size=8,
+    )
+)
+def test_paragraph_dedup_matches_sequential_replay(spark, docs):
+    from google_vision_ocr_spark.operators.dedup import drop_repeated_paragraphs
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in drop_repeated_paragraphs(df).collect()}
+    seen = set()
+    for i, paras in enumerate(docs):
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == "\n\n".join(kept), (i, got[i], kept)
