@@ -890,6 +890,32 @@ def _tpch_q18(spark, sf_dir):
     )
 
 
+def _tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: 4-way join, decimal-exact
+    revenue, top-20 by revenue via TakeOrderedAndProject (never a
+    global sort).  The tie-break (revenue DESC, c_custkey) is part of
+    the contract so the LIMIT selection matches the oracle exactly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(3,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def _tpch_q14(spark, sf_dir):
     """TPC-H Q14 promo-revenue shape: fact⋈dim join (part broadcast)
     feeding a conditional aggregate ratio; decimal-exact money."""
@@ -1257,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": _tpch_q5,
         "tpch_q18_large_orders": _tpch_q18,
         "tpch_q14_promo_revenue": _tpch_q14,
+        "tpch_q10_returned_items": _tpch_q10,
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_one": _dedup_keep_one,
@@ -2052,6 +2079,22 @@ def oracle_sql() -> dict[str, str]:
                 HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 220)
               AND c_custkey = o_custkey AND o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "tpch_q14_promo_revenue": """
             WITH j AS (

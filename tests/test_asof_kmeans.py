@@ -212,3 +212,22 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(16)}
+
+
+def test_star_contraction_long_chain_few_rounds(spark):
+    """Star contraction is the O(log n)-round variant: a 32-node path
+    graph (diameter 31) must converge well under the label-propagation
+    round count and agree with it."""
+    from google_vision_ocr_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], ["id_a", "id_b"])
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(edges, max_rounds=10).collect()}
+    assert star == {i: 0 for i in range(32)}
+    lp = {r["node"]: r["component"]
+          for r in connected_components(edges, max_rounds=40).collect()}
+    assert star == lp

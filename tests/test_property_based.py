@@ -154,3 +154,24 @@ def test_paragraph_dedup_matches_sequential_replay(spark, docs):
                 seen.add(p)
                 kept.append(p)
         assert got[i] == "\n\n".join(kept), (i, got[i], kept)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    from google_vision_ocr_spark.operators.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df).collect()}
+    assert got == _union_find(edges)
