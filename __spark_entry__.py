@@ -1034,6 +1034,16 @@ def _events_props_json(spark, sf_dir):
     )
 
 
+def _events_interval_join(spark, sf_dir):
+    """Range (interval) join: each purchase joins the same user's views
+    from the preceding hour.  The identical code path runs as a
+    watermarked stream-stream join (streaming/events.py, twin-tested);
+    here the batch shape is hash-gated against a DuckDB range join."""
+    from google_vision_ocr_spark.streaming.events import purchases_with_recent_views
+
+    return purchases_with_recent_views(_t(spark, sf_dir, "events"))
+
+
 def _events_pivot_daily(spark, sf_dir):
     """PIVOT: one row per day, one count column per event type.  Spark
     plans pivot as a single pass of conditional aggregates (no extra
@@ -1288,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_one": _dedup_keep_one,
         "url_domain_stats_psl": _url_domain_stats_psl,
+        "events_interval_join": _events_interval_join,
         "events_pivot_daily": _events_pivot_daily,
         "events_funnel": _events_funnel,
         "events_daily_distinct": _events_daily_distinct,
@@ -2129,6 +2140,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cnt DESC, word) AS rank
                 FROM counts
             ) WHERE rank <= 5
+        """,
+        "events_interval_join": """
+            SELECT p.event_id, p.user_id, p.ts AS p_ts,
+                   v.ts AS view_ts, v.value AS view_value
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         """,
         "events_pivot_daily": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -92,6 +92,39 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours",
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
 
 
+def purchases_with_recent_views(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase joins the same
+    user's views from the preceding ``lookback`` window.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range, which is what lets Spark EVICT join state — an
+    unbounded stream-stream join buffers both streams forever.  Works
+    identically on batch frames (the twin the test compares against)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"user_id = v_user AND view_ts >= p_ts - INTERVAL {lookback} "
+            "AND view_ts <= p_ts"
+        ),
+    ).select("event_id", "user_id", "p_ts", "view_ts", "view_value")
+
+
 def streaming_extract_items(pages_stream: DataFrame) -> DataFrame:
     """Stage 1 of the fused extraction plan over a stream — identical
     code path (mapInPandas is streaming-compatible)."""

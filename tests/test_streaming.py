@@ -77,3 +77,25 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert got.count() == batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked purchase⋈view interval join, drained, equals the
+    same join on the static frame."""
+    from google_vision_ocr_spark.streaming.events import (
+        purchases_with_recent_views,
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, SF_DIR)
+    got = run_available_now(
+        purchases_with_recent_views(stream), str(tmp_path / "ckpt_ssj"),
+        query_name="ssj_t",
+    ).collect()
+    batch = purchases_with_recent_views(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).collect()
+    key = lambda r: (r["event_id"], r["view_ts"])  # noqa: E731
+    assert len(got) > 0
+    assert sorted(map(key, got)) == sorted(map(key, batch))
