@@ -246,3 +246,23 @@ def test_pack_shards_prefix_sum_across_spark_partitions(spark):
         tok = 100 + (i % 7)
         assert got[i] == run // 500, i
         run += tok
+
+
+def test_sketch_aggregates_within_error_bounds(spark):
+    """Sketches (HLL approx-distinct, approx percentile) are the
+    100 TB substitutes for their exact twins; pin their error against
+    the exact answers on the events table."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = e.agg(
+        F.count_distinct("user_id").alias("d"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+    ).collect()[0]
+    approx = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("d"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+    ).collect()[0]
+    assert abs(approx["d"] - exact["d"]) <= max(2, 0.05 * exact["d"])
+    # value spans ~0-100; 10k-accuracy approx median lands within 1%
+    assert abs(approx["p50"] - exact["p50"]) <= 0.01 * 100
