@@ -30,7 +30,9 @@ def merge_upsert(
     """New snapshot: updates replace matched target rows, unmatched
     updates append, unmatched target rows carry forward.  ``updates``
     must carry the same columns as ``target`` (plus optionally
-    ``delete_col``)."""
+    ``delete_col``) and at most ONE row per key — like SQL ``MERGE``,
+    a multi-row delta for one key is the caller's bug (the outer join
+    would emit one output row per delta row)."""
     value_cols = [c for c in target.columns if c not in key_cols]
     t = target.select(
         *[F.col(c) for c in key_cols],

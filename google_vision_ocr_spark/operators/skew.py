@@ -39,6 +39,11 @@ def salted_join(
     is exactly the failure mode that corrupts salted joins in naive
     implementations (a retried task re-rolling different salts sends
     rows to partitions that already closed)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # a right/full join would emit every unmatched small-side row
+        # once PER SALT — silently wrong; refuse instead
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("__salt", salt.cast("int"))
     s = small.withColumn(

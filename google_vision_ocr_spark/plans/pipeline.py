@@ -109,4 +109,7 @@ def run_corpus_pipeline(
     report["n_shards"] = manifest.count()
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
+    # every output is materialized by now; free the tracked persists so
+    # a long-lived session running many pipelines doesn't accumulate
+    cache.release_all()
     return report
