@@ -939,6 +939,132 @@ def _tpch_q14(spark, sf_dir):
     )
 
 
+def _tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority-count shape: EXISTS decorrelated to a
+    left-semi join whose condition mixes the key equality with a
+    cross-table inequality (late-shipment probe).
+
+    Adaptation: the testdata lineitem carries no l_commitdate /
+    l_receiptdate, so the "late line" predicate is l_shipdate >
+    o_orderdate — same plan shape (filtered fact semi-joined against a
+    bigger fact, tiny-group count), different column."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipmode-priority shape: fact-fact equi-join feeding
+    two conditional counts per class.
+
+    Adaptation: no l_shipmode in the testdata — l_returnflag plays the
+    class column; the priority CASE and the one-year shipdate window
+    are verbatim Q12."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def _tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer-order-distribution shape: left OUTER join with
+    an extra join-side predicate (customers with zero qualifying orders
+    must survive as c_count = 0), then a second aggregation over the
+    first's output — the double-shuffle histogram plan.
+
+    Adaptation: orders has no o_comment, so the NOT LIKE filter becomes
+    o_orderpriority <> '1-URGENT' (same position in the join condition,
+    same must-not-be-pushed-to-WHERE trap)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order shape: correlated aggregate
+    subquery (per-part 0.2×avg quantity threshold) decorrelated into an
+    aggregate-then-join; decimal-exact price sum.
+
+    The threshold math is cross-engine exact: l_quantity is
+    integer-valued, so sum/count (avg) is exact in doubles and
+    0.2*avg is a single IEEE multiply on identical inputs.
+    Adaptation: no p_container column, so the part filter is brand
+    only."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+             .cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+def _tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted-revenue shape: broadcast dim join under a
+    disjunction of conjunctive brand/size/quantity windows — the
+    OR-of-ANDs predicate Catalyst must keep joint (it cannot push any
+    single conjunct alone).  Decimal-exact revenue.
+
+    Adaptation: no p_container / l_shipmode / l_shipinstruct columns;
+    the three (brand, p_size window, l_quantity window) arms preserve
+    the disjunctive structure."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = lambda b, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(3,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20)
+                | arm("Brand#34", 15, 20, 30))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
 def _top_words_per_lang(spark, sf_dir):
     """Heavy hitters: top-5 words per language by corpus frequency.
     Two-phase top-k: per (lang, hash-bucket) top-5 first, then the
@@ -1294,6 +1420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": _tpch_q18,
         "tpch_q14_promo_revenue": _tpch_q14,
         "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q4_priority_count": _tpch_q4,
+        "tpch_q12_priority_classes": _tpch_q12,
+        "tpch_q13_order_distribution": _tpch_q13,
+        "tpch_q17_small_quantity": _tpch_q17,
+        "tpch_q19_disjunctive_revenue": _tpch_q19,
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_one": _dedup_keep_one,
@@ -2124,6 +2255,65 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(rev) AS DOUBLE), 4) AS promo_revenue_pct,
                    CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
             FROM j
+        """,
+        "tpch_q4_priority_count": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12_priority_classes": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "tpch_q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                     ON c_custkey = o_custkey
+                    AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "tpch_q17_small_quantity": """
+            WITH t AS (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = lineitem.l_partkey
+            JOIN t ON t.l_partkey = lineitem.l_partkey
+            WHERE p_brand = 'Brand#23' AND l_quantity < qty_thresh
+        """,
+        "tpch_q19_disjunctive_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "top_words_per_lang": r"""
             WITH counts AS (
