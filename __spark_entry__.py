@@ -1359,6 +1359,29 @@ def _warc_roundtrip(spark, sf_dir):
     )
 
 
+def _token_chunks(spark, sf_dir):
+    """LM training-sequence prep: every document explodes into 64-token
+    windows starting every 48 tokens (overlapping context).  Scan-side
+    JVM generate — no shuffle, no Python; the oracle replays the window
+    enumeration and slicing exactly."""
+    from google_vision_ocr_spark.operators.chunking import token_chunks
+
+    return token_chunks(
+        _t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
+def _target_mix_resample(spark, sf_dir):
+    """Deterministic importance resampling toward a target language mix
+    (keep 50% of en, 25% of zh, all others): md5-hash accept test in
+    integer parts-per-million, so the threshold is exact across engines
+    and runs — the DSIR-style rebalancing step of a data pipeline."""
+    from google_vision_ocr_spark.operators.sampling import target_mix_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return target_mix_resample(d, {"en": 500_000, "zh": 250_000})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1436,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_snapshot": _merge_upsert_snapshot,
         "events_user_lag": _events_user_lag,
         "events_props_json": _events_props_json,
+        "token_chunks": _token_chunks,
+        "target_mix_resample": _target_mix_resample,
     }
 
 
@@ -2255,6 +2280,44 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(rev) AS DOUBLE), 4) AS promo_revenue_pct,
                    CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
             FROM j
+        """,
+        "token_chunks": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0
+            ), e AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0, (n - 1) // 48)) AS i
+                FROM sized
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_id,
+                   array_to_string(list_slice(t, i*48 + 1, i*48 + 64), ' ')
+                       AS chunk_text,
+                   CAST(len(list_slice(t, i*48 + 1, i*48 + 64)) AS INT)
+                       AS n_tokens
+            FROM e
+        """,
+        "target_mix_resample": """
+            WITH h AS (
+                SELECT doc_id, lang, source,
+                       list_reduce(list_transform(generate_series(1, 8),
+                           i -> strpos('0123456789abcdef',
+                                substr(md5(lang || chr(31)
+                                           || CAST(doc_id AS VARCHAR)), i, 1))
+                                - 1),
+                           (a, b) -> a * 16 + b) % 1000000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, source
+            FROM h
+            WHERE bucket < CASE lang WHEN 'en' THEN 500000
+                                     WHEN 'zh' THEN 250000
+                                     ELSE 1000000 END
         """,
         "tpch_q4_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count

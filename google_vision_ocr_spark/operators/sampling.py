@@ -47,6 +47,36 @@ def deterministic_split(
     )
 
 
+def target_mix_resample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    default_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Importance-style resampling to a target class mix: keep a row of
+    class ``c`` with probability ``rates_ppm[c] / 1e6``, decided by the
+    md5 hash of its (class, id) pair — the DSIR-flavoured "rebalance the
+    corpus toward a target distribution" step, made fully deterministic.
+
+    Rates are integer PARTS-PER-MILLION on purpose: the accept test is
+    ``hash_bucket < rate_ppm`` in integers, so there is no float
+    threshold for two engines (or two runs) to round differently — the
+    same reason the money queries use integer cents.  Scan-side only:
+    no shuffle, no RNG state, resumable and partition-count-independent.
+    """
+    key = F.concat_ws(
+        "\x1f", F.col(class_col).cast("string"), F.col(id_col).cast("string")
+    )
+    bucket = md5_bucket(key, 1_000_000)
+    rate = F.lit(default_ppm)
+    for cls, ppm in sorted(rates_ppm.items()):
+        if not (0 <= ppm <= 1_000_000):
+            raise ValueError(f"rate for {cls!r} must be in [0, 1e6], got {ppm}")
+        rate = F.when(F.col(class_col) == cls, F.lit(ppm)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
 def stratified_fraction(
     df: DataFrame,
     id_col: str = "doc_id",
