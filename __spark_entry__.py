@@ -1382,6 +1382,26 @@ def _target_mix_resample(spark, sf_dir):
     return target_mix_resample(d, {"en": 500_000, "zh": 250_000})
 
 
+def _profile_documents(spark, sf_dir):
+    """ANALYZE-style column profile of the documents table: one pass,
+    all per-column null/distinct/min/max aggregates in a single agg,
+    unpivoted with stack.  Exact distincts here (auditable by the
+    oracle); the approx_count_distinct mode is the 100 TB path."""
+    from google_vision_ocr_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"))
+
+
+def _scd2_user_state(spark, sf_dir):
+    """Type-2 history of each user's event-type state: gaps-and-islands
+    runs with [valid_from, valid_to) epoch-micro bounds, -1 closing the
+    open interval.  Windows partition by user_id (bounded per key — the
+    skew-safe kind)."""
+    from google_vision_ocr_spark.operators.scd2 import type2_history
+
+    return type2_history(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1461,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _events_props_json,
         "token_chunks": _token_chunks,
         "target_mix_resample": _target_mix_resample,
+        "profile_documents": _profile_documents,
+        "scd2_user_state": _scd2_user_state,
     }
 
 
@@ -2318,6 +2340,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket < CASE lang WHEN 'en' THEN 500000
                                      WHEN 'zh' THEN 250000
                                      ELSE 1000000 END
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS column_name,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_count,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text',
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'lang',
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source',
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        """,
+        "scd2_user_state": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                              OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+                SELECT user_id, event_type, ts,
+                       sum(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM ordered
+            ), grouped AS (
+                SELECT user_id, run, event_type AS state,
+                       min(epoch_us(ts)) AS valid_from_us,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM runs GROUP BY user_id, run, event_type
+            )
+            SELECT user_id, state, valid_from_us,
+                   coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                                                      ORDER BY run),
+                            -1) AS valid_to_us,
+                   n_events
+            FROM grouped
         """,
         "tpch_q4_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
