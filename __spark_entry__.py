@@ -1402,6 +1402,25 @@ def _scd2_user_state(spark, sf_dir):
     return type2_history(_t(spark, sf_dir, "events"))
 
 
+def _host_pagerank(spark, sf_dir):
+    """PageRank over a deterministic host-link graph (each document
+    links its source host to a doc_id-derived host), 3 iterations in
+    exact fixed-point int64 — the oracle unrolls all three rounds in
+    SQL and matches bit-for-bit, which float PageRank can never do."""
+    from google_vision_ocr_spark.operators.pagerank import pagerank_fixed_point
+
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    edges = (
+        d.select(F.col("source").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return (
+        pagerank_fixed_point(edges, iterations=3)
+        .select("node", F.col("rank").alias("rank_fp"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1483,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_mix_resample": _target_mix_resample,
         "profile_documents": _profile_documents,
         "scd2_user_state": _scd2_user_state,
+        "host_pagerank": _host_pagerank,
     }
 
 
@@ -2404,6 +2424,58 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS valid_to_us,
                    n_events
             FROM grouped
+        """,
+        "host_pagerank": """
+            WITH edges AS (
+                SELECT DISTINCT source AS src,
+                       'src' || CAST(doc_id % 20 AS VARCHAR) AS dst
+                FROM documents
+                WHERE source <> 'src' || CAST(doc_id % 20 AS VARCHAR)
+            ),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            base AS (
+                SELECT node,
+                       15000000000000 // (100 * n) AS t,
+                       1000000000000 // n AS r
+                FROM nodes CROSS JOIN nn
+            ),
+            i1 AS (
+                SELECT b.node, b.t,
+                       b.t + (85 * coalesce(f.inflow, 0)) // 100 AS r
+                FROM base b LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // d.deg) AS inflow
+                    FROM edges e
+                    JOIN base p ON p.node = e.src
+                    JOIN deg d ON d.src = e.src
+                    GROUP BY e.dst
+                ) f ON f.node = b.node
+            ),
+            i2 AS (
+                SELECT b.node, b.t,
+                       b.t + (85 * coalesce(f.inflow, 0)) // 100 AS r
+                FROM base b LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // d.deg) AS inflow
+                    FROM edges e
+                    JOIN i1 p ON p.node = e.src
+                    JOIN deg d ON d.src = e.src
+                    GROUP BY e.dst
+                ) f ON f.node = b.node
+            ),
+            i3 AS (
+                SELECT b.node, b.t,
+                       b.t + (85 * coalesce(f.inflow, 0)) // 100 AS r
+                FROM base b LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // d.deg) AS inflow
+                    FROM edges e
+                    JOIN i2 p ON p.node = e.src
+                    JOIN deg d ON d.src = e.src
+                    GROUP BY e.dst
+                ) f ON f.node = b.node
+            )
+            SELECT node, CAST(r AS BIGINT) AS rank_fp FROM i3
         """,
         "tpch_q4_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
