@@ -1421,6 +1421,16 @@ def _host_pagerank(spark, sf_dir):
     )
 
 
+def _tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: tf and df exact integers, the
+    score rounded to 6 dp BEFORE ordering with integer tie-breaks, so
+    mathematically-equal scores from different (tf, df) pairs never
+    resolve by a log's last ULP."""
+    from google_vision_ocr_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1503,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": _profile_documents,
         "scd2_user_state": _scd2_user_state,
         "host_pagerank": _host_pagerank,
+        "tfidf_top_terms": _tfidf_top_terms,
     }
 
 
@@ -2424,6 +2435,34 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS valid_to_us,
                    n_events
             FROM grouped
+        """,
+        "tfidf_top_terms": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                                                             '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM words GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), nn AS (
+                SELECT count(*) AS n FROM documents
+            ), scored AS (
+                SELECT doc_id, term, tf, df,
+                       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, tf DESC, term) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "host_pagerank": """
             WITH edges AS (
