@@ -1431,6 +1431,83 @@ def _tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _snapshot_diff_cdc(spark, sf_dir):
+    """Change-data-capture between two corpus snapshots: the new
+    snapshot is a deterministic mutation of documents (drop doc_id%97,
+    bump n_chars on doc_id%89, clone doc_id%101 with +1e6 ids), so the
+    diff has all three op kinds and the oracle replays the full-outer
+    classification with IS DISTINCT FROM equality."""
+    from google_vision_ocr_spark.operators.merge import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    updated = d.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 89 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars")),
+    )
+    inserted = d.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "source", "n_chars"
+    )
+    return snapshot_diff(d, updated.unionByName(inserted), ["doc_id"])
+
+
+def _events_rolling_7d(spark, sf_dir):
+    """Trailing-7-day rolling count/sum per user via a RANGE window
+    frame on epoch-microseconds — the time-decayed feature shape.  The
+    rolled sum rides exact integer cents (float window sums are
+    order-dependent); windows partition by user_id, bounded per key."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("__c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * 86400 * 1000000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        (F.sum("__c").over(w).cast("double") / F.lit(100.0))
+        .alias("sum_value_7d"),
+    )
+
+
+def _events_moments(spark, sf_dir):
+    """Exact per-group mean/variance/stddev from integer-cents moments:
+    n, Σc, Σc² are exact int64, the variance is (n·Σc² − (Σc)²) /
+    (n(n−1)) evaluated on those exact integers, and sqrt is IEEE
+    correctly-rounded — so the floats are identical across engines
+    (float accumulation of Σx² never is).  int64 bound: safe to ~3e6
+    rows/group at these value magnitudes; beyond that the DECIMAL
+    variant applies (the q1 trade, documented there)."""
+    e = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(c).alias("__s1"),
+        F.sum(c * c).alias("__s2"),
+    )
+    n, s1, s2 = F.col("n_events"), F.col("__s1"), F.col("__s2")
+    var = (n * s2 - s1 * s1).cast("double") / (
+        (n * (n - F.lit(1))).cast("double") * F.lit(10000.0)
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(s1.cast("double") / (F.lit(100.0) * n), 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1514,6 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": _scd2_user_state,
         "host_pagerank": _host_pagerank,
         "tfidf_top_terms": _tfidf_top_terms,
+        "snapshot_diff_cdc": _snapshot_diff_cdc,
+        "events_rolling_7d": _events_rolling_7d,
+        "events_value_moments": _events_moments,
     }
 
 
@@ -2435,6 +2515,70 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS valid_to_us,
                    n_events
             FROM grouped
+        """,
+        "snapshot_diff_cdc": """
+            WITH base AS (
+                SELECT doc_id, lang, source, n_chars FROM documents
+            ), newsnap AS (
+                SELECT doc_id, lang, source,
+                       CASE WHEN doc_id % 89 = 0 THEN n_chars + 1
+                            ELSE n_chars END AS n_chars
+                FROM base WHERE doc_id % 97 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, lang, source, n_chars
+                FROM base WHERE doc_id % 101 = 0
+            ), j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       o.doc_id IS NOT NULL AS in_o,
+                       n.doc_id IS NOT NULL AS in_n,
+                       o.lang AS ol, o.source AS os, o.n_chars AS oc,
+                       n.lang AS nl, n.source AS ns, n.n_chars AS nc
+                FROM base o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+            )
+            SELECT CASE WHEN NOT in_o THEN 'insert'
+                        WHEN NOT in_n THEN 'delete'
+                        ELSE 'update' END AS op,
+                   doc_id,
+                   CASE WHEN NOT in_n THEN ol ELSE nl END AS lang,
+                   CASE WHEN NOT in_n THEN os ELSE ns END AS source,
+                   CASE WHEN NOT in_n THEN oc ELSE nc END AS n_chars
+            FROM j
+            WHERE NOT in_o OR NOT in_n
+               OR ol IS DISTINCT FROM nl
+               OR os IS DISTINCT FROM ns
+               OR oc IS DISTINCT FROM nc
+        """,
+        "events_rolling_7d": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(count(*) OVER w AS BIGINT) AS n_7d,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS DOUBLE) / 100.0 AS sum_value_7d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 604800000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "events_value_moments": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(c) AS BIGINT) AS s1,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM (SELECT event_type,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events)
+                GROUP BY event_type
+            )
+            SELECT event_type, n_events,
+                   round(CAST(s1 AS DOUBLE) / (100.0 * n_events), 6)
+                       AS mean_value,
+                   round(CAST(n_events * s2 - s1 * s1 AS DOUBLE)
+                         / (CAST(n_events * (n_events - 1) AS DOUBLE)
+                            * 10000.0), 6) AS var_value,
+                   round(sqrt(CAST(n_events * s2 - s1 * s1 AS DOUBLE)
+                              / (CAST(n_events * (n_events - 1) AS DOUBLE)
+                                 * 10000.0)), 6) AS std_value
+            FROM m
         """,
         "tfidf_top_terms": r"""
             WITH words AS (

@@ -21,6 +21,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same schema:
+    one row per changed key with ``op`` ∈ {insert, update, delete} and
+    the surviving values (new side for insert/update, old side for
+    delete).  Unchanged keys are dropped via null-safe column equality,
+    so a null→null value is "unchanged" and null→x is an update.
+
+    The inverse of :func:`merge_upsert` — ``merge_upsert(old,
+    snapshot_diff(old, new), …)`` reconstructs ``new`` — and the same
+    scale shape: one full-outer shuffle keyed by the merge key (free on
+    a layout already bucketed by it)."""
+    if old.columns != new.columns:
+        raise ValueError(
+            f"snapshot schemas differ: {old.columns} vs {new.columns}"
+        )
+    value_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+        F.lit(True).alias("__in_n"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_o").isNull(), F.lit("insert"))
+        .when(F.col("__in_n").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[F.col(c) for c in key_cols],
+            *[
+                F.when(F.col("op") == "delete", F.col(f"__o_{c}"))
+                .otherwise(F.col(f"__n_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
