@@ -1508,6 +1508,29 @@ def _events_moments(spark, sf_dir):
     )
 
 
+def _bm25_search(spark, sf_dir):
+    """BM25 top-20 for a 3-term query: per-term partials are fixed
+    IEEE expression trees over exact integers, quantized to micro
+    units before the per-document sum so the fold is order-free; the
+    oracle replays idf, saturation, length normalization and ranking."""
+    from google_vision_ocr_spark.operators.tfidf import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), ["data", "fast", "order"], k=20
+    )
+
+
+def _events_histogram(spark, sf_dir):
+    """Exact equi-depth histogram of event values (10 bins) — CBO-style
+    distribution statistics computed entirely in integers: quantize to
+    cents, count per distinct value, exclusive running count, and the
+    closed-form bin assignment (cum_prev*bins) div n.  No percentile
+    interpolation, so no float edge for two engines to disagree on."""
+    from google_vision_ocr_spark.operators.profile import equi_depth_histogram
+
+    return equi_depth_histogram(_t(spark, sf_dir, "events"), "value", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1594,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_cdc": _snapshot_diff_cdc,
         "events_rolling_7d": _events_rolling_7d,
         "events_value_moments": _events_moments,
+        "bm25_search": _bm25_search,
+        "events_equidepth_histogram": _events_histogram,
     }
 
 
@@ -2515,6 +2540,82 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS valid_to_us,
                    n_events
             FROM grouped
+        """,
+        "bm25_search": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                                                             '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM words GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl
+                FROM dl
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM words WHERE term IN ('data', 'fast', 'order')
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), micro AS (
+                SELECT tf.doc_id,
+                       CAST(round(
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (CAST(n - df AS DOUBLE)
+                                 + CAST(0.5 AS DOUBLE))
+                                / (CAST(df AS DOUBLE)
+                                   + CAST(0.5 AS DOUBLE)))
+                           * (tf * CAST(2.25 AS DOUBLE))
+                           / (tf + CAST(1.25 AS DOUBLE)
+                                   * (CAST(0.25 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE) * dl
+                                        / (CAST(sum_dl AS DOUBLE) / n)))
+                           * 1e6) AS BIGINT) AS m
+                FROM tf
+                JOIN dfreq USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+            ), per_doc AS (
+                SELECT doc_id, CAST(sum(m) AS BIGINT) AS micros,
+                       CAST(count(*) AS BIGINT) AS n_matched
+                FROM micro GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY micros DESC, doc_id)
+                        AS INT) AS rank,
+                   CAST(micros AS DOUBLE) / 1e6 AS score,
+                   n_matched
+            FROM per_doc
+            ORDER BY micros DESC, doc_id
+            LIMIT 20
+        """,
+        "events_equidepth_histogram": """
+            WITH c AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS q,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1
+            ), nn AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+            ), cum AS (
+                SELECT q, cnt,
+                       CAST(coalesce(sum(cnt) OVER (
+                                ORDER BY q
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cum_prev
+                FROM c
+            )
+            SELECT (cum_prev * 10) // n AS bin,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(min(q) AS DOUBLE) / 100.0 AS lo_value,
+                   CAST(max(q) AS DOUBLE) / 100.0 AS hi_value
+            FROM cum CROSS JOIN nn
+            GROUP BY 1
         """,
         "snapshot_diff_cdc": """
             WITH base AS (

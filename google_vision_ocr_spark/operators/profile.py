@@ -18,6 +18,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str = "value",
+    bins: int = 10,
+    unit: int = 100,
+) -> DataFrame:
+    """Exact equi-depth histogram of a numeric column — the
+    optimizer-statistics shape (each bin holds ~n/bins rows), computed
+    entirely in integers so two engines agree bit-for-bit.
+
+    The column is quantized to ``unit`` fixed-point (cents by default),
+    then: one map-side-combinable value→count aggregate, an exclusive
+    running count over the DISTINCT values, and the closed-form bin
+    assignment ``bin = (cum_prev · bins) div n`` — a distinct value
+    whose first occupant rank falls in bin k carries all its
+    duplicates there (the standard duplicate-merging rule; heavy
+    duplicates make bins uneven on purpose, which is exactly what a
+    CBO wants to see).  No percentile interpolation, no float edges —
+    interpolated quantiles differ across engines in the last ULP and
+    flip boundary rows.
+
+    Scale note: the running count is a single-partition window over
+    the DISTINCT quantized values — bounded by the value domain (a
+    56k-cent metric has ≤56k distinct cents at any corpus size), not
+    by the row count.  For genuinely unbounded domains pre-bucket the
+    domain coarsely first; the histogram of a quality score, price,
+    length, or ratio is domain-bounded."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(col) * unit).cast("bigint")
+    counts = df.select(cents.alias("q")).groupBy("q").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = counts.agg(F.sum("cnt").alias("__n"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        counts.withColumn(
+            "cum_prev", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(f"(cum_prev * {bins}) div __n").alias("bin"),
+            "q",
+            "cnt",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            (F.min("q").cast("double") / F.lit(float(unit))).alias("lo_value"),
+            (F.max("q").cast("double") / F.lit(float(unit))).alias("hi_value"),
+        )
+    )
+
+
 def profile_columns(
     df: DataFrame,
     columns: list[str] | None = None,

@@ -26,6 +26,99 @@ from pyspark.sql import functions as F
 from .scoring import WORDS_EXPR
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.25,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query by BM25
+    (Robertson/Sparck-Jones +1 idf).  Returns (id, rank, score,
+    n_matched).
+
+    Cross-engine determinism: each per-term partial score is a fixed
+    expression tree over exact integers (tf, df, dl, N) — identical
+    doubles in any IEEE engine — but the per-document Σ over terms is
+    a float sum whose ORDER differs per engine.  So each term's score
+    is quantized to micro units (``round(s·1e6)`` → int64) and the
+    document sum runs in integers: order-free, exact, the same trick
+    as the money queries.  (Micro, not nano: a 1-ULP ln() disagreement
+    moves s·1e6 by ~1e-9, far from any .5 rounding boundary; s·1e9
+    would sit ~1e-6 away — too close at corpus scale.)  Ranking uses
+    the integer micros with id tie-breaks; the reported score is
+    micros/1e6.  Default k1=1.25, b=0.75: exact binary fractions, so
+    a SQL oracle's decimal literals convert to the identical doubles
+    (1.2 would not survive the trip).
+
+    Plan shape: the query is a handful of literal terms — df lookup
+    and idf are broadcast-sized; the corpus-side work is one tf pass
+    filtered to query terms plus a scan-side doc-length, joined on the
+    id, then a global top-k (TakeOrderedAndProject, never a full
+    sort)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(WORDS_EXPR.format(col=text_col))).alias("term"),
+    )
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").alias("__sum_dl"),
+    )
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        words.filter(F.array_contains(qt, F.col("term")))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + ((F.col("__n") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b))
+                        * F.col("dl")
+                        / (F.col("__sum_dl").cast("double") / F.col("__n"))
+                    )
+                )
+                * F.lit(1e6)
+            ).cast("bigint").alias("__micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__micro").alias("__micros"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return (
+        per_doc.orderBy(F.col("__micros").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.row_number().over(
+                Window.orderBy(F.col("__micros").desc(), F.col(id_col))
+            ).alias("rank"),
+            (F.col("__micros").cast("double") / F.lit(1e6)).alias("score"),
+            "n_matched",
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
