@@ -200,3 +200,67 @@ def test_tpch_q5_q14_broadcast_their_dims(spark):
     assert q5.count("BroadcastHashJoin") >= 3
     q14 = _plan(e.queries()["tpch_q14_promo_revenue"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in q14
+
+
+def test_bm25_topk_never_global_sorts(spark):
+    """bm25_search's top-k must ride TakeOrderedAndProject and its
+    df/idf/stats frames must broadcast — the corpus side shuffles only
+    on the doc id."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bm25_search"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # dfreq joins broadcast
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+
+
+def test_pagerank_broadcasts_degree_and_count(spark):
+    """pagerank_fixed_point: out-degree and node-count frames are
+    broadcast; only edges x ranks and the dst aggregation shuffle."""
+    from google_vision_ocr_spark.operators.pagerank import pagerank_fixed_point
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan = _plan(pagerank_fixed_point(e, iterations=2))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # node-count cross join
+    # the inflow aggregate is map-side combinable
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+
+def test_equidepth_window_is_on_distinct_domain_only(spark):
+    """equi_depth_histogram's single-partition running count must sit
+    ABOVE the value->count aggregate (bounded distinct domain), never
+    over the raw rows."""
+    from google_vision_ocr_spark.operators.profile import equi_depth_histogram
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS value")
+    plan = _plan(equi_depth_histogram(df, "value", bins=4))
+    assert "Exchange SinglePartition" in plan
+    # the single-partition sort consumes the value->count AGGREGATE —
+    # a HashAggregate must sit between the window's Sort and the source
+    idx_sort = plan.index("Sort [")
+    after_sort = plan[idx_sort:]
+    assert after_sort.index("HashAggregate") < after_sort.index("Range (")
+
+
+def test_profile_approx_mode_has_no_expand(spark):
+    """exact=True pays the multi-distinct Expand (audit mode);
+    exact=False must plan as pure partial+final HLL aggregation."""
+    from google_vision_ocr_spark.operators.profile import profile_columns
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+    assert "Expand" in _plan(profile_columns(df))
+    assert "Expand" not in _plan(profile_columns(df, exact=False))
+
+
+def test_tpch_q17_q19_broadcast_part_dim(spark):
+    import __spark_entry__ as e
+
+    q17 = _plan(e.queries()["tpch_q17_small_quantity"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in q17
+    q19 = _plan(
+        e.queries()["tpch_q19_disjunctive_revenue"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in q19
