@@ -1531,6 +1531,22 @@ def _events_histogram(spark, sf_dir):
     return equi_depth_histogram(_t(spark, sf_dir, "events"), "value", bins=10)
 
 
+def _zorder_keys(spark, sf_dir):
+    """Z-order layout keys over (user_id, value-cents): the Morton
+    interleave that clusters rows close in BOTH dimensions for
+    row-group pruning.  Pure int64 shift/mask projection; the oracle
+    is generated from the same helper so engine and oracle can't
+    drift."""
+    from google_vision_ocr_spark.functions.zorder import morton2
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        morton2(F.col("user_id"), cents, bits=16).alias("zkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1619,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_moments": _events_moments,
         "bm25_search": _bm25_search,
         "events_equidepth_histogram": _events_histogram,
+        "zorder_keys": _zorder_keys,
     }
 
 
@@ -1845,6 +1862,13 @@ def _exact_jaccard_oracle(threshold: float) -> str:
             GROUP BY a.doc_id, b.doc_id, a.n, b.n
             HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= {threshold}
         """
+
+
+def _zorder_oracle_sql() -> str:
+    from google_vision_ocr_spark.functions.zorder import morton2_sql
+
+    z = morton2_sql("user_id", "CAST(round(value * 100) AS BIGINT)", bits=16)
+    return f"SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM events"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2541,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
                    n_events
             FROM grouped
         """,
+        "zorder_keys": _zorder_oracle_sql(),
         "bm25_search": r"""
             WITH words AS (
                 SELECT doc_id,
