@@ -1547,6 +1547,34 @@ def _zorder_keys(spark, sf_dir):
     )
 
 
+def _fuzzy_vocab_pairs(spark, sf_dir):
+    """SymSpell deletion-neighborhood fuzzy matching with PLANTED
+    typos: the corpus vocabulary alone has no Levenshtein-1 pairs
+    (checked — the query would be vacuous), so every doc_id%37
+    document contributes its first word with the 2nd character
+    dropped, and the operator must recover exactly those planted
+    (word, typo) pairs.  The oracle replays the typo derivation, the
+    blocking, and the distance check."""
+    from google_vision_ocr_spark.operators.fuzzy import fuzzy_word_pairs
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.explode(F.expr(WORDS_EXPR.format(col="text"))).alias("word")
+    )
+    first = F.element_at(F.expr(WORDS_EXPR.format(col="text")), 1)
+    typos = (
+        d.filter(F.col("doc_id") % 37 == 0)
+        .select(first.alias("w0"))
+        .filter(F.length("w0") >= 3)
+        .select(
+            F.concat(F.expr("substring(w0, 1, 1)"), F.expr("substring(w0, 3)"))
+            .alias("word")
+        )
+    )
+    return fuzzy_word_pairs(base.union(typos))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1636,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "events_equidepth_histogram": _events_histogram,
         "zorder_keys": _zorder_keys,
+        "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
     }
 
 
@@ -2566,6 +2595,36 @@ def oracle_sql() -> dict[str, str]:
             FROM grouped
         """,
         "zorder_keys": _zorder_oracle_sql(),
+        "fuzzy_vocab_pairs": r"""
+            WITH base_words AS (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                             '\s+'),
+                              x -> x <> '')) AS w
+                FROM documents
+            ), typos AS (
+                SELECT substr(w0, 1, 1) || substr(w0, 3) AS w
+                FROM (SELECT list_filter(string_split_regex(lower(text),
+                                                            '\s+'),
+                             x -> x <> '')[1] AS w0
+                      FROM documents WHERE doc_id % 37 = 0)
+                WHERE length(w0) >= 3
+            ), vocab AS (
+                SELECT DISTINCT w
+                FROM (SELECT w FROM base_words
+                      UNION ALL SELECT w FROM typos)
+            ), keyed AS (
+                SELECT DISTINCT w, v FROM (
+                    SELECT w, unnest(list_prepend(w,
+                        list_transform(generate_series(1, length(w)),
+                            i -> substr(w, 1, i - 1) || substr(w, i + 1))))
+                        AS v
+                    FROM vocab
+                )
+            )
+            SELECT DISTINCT a.w AS w1, b.w AS w2
+            FROM keyed a JOIN keyed b ON a.v = b.v
+            WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        """,
         "bm25_search": r"""
             WITH words AS (
                 SELECT doc_id,
