@@ -1575,6 +1575,34 @@ def _fuzzy_vocab_pairs(spark, sf_dir):
     return fuzzy_word_pairs(base.union(typos))
 
 
+def _duplicate_windows(spark, sf_dir):
+    """Substring-level dedup signal (Lee et al. 2022 at the 20-token
+    grain): every doc_id%11 document gets a 22-token per-language
+    boilerplate appended, so its 3 fully-interior windows are
+    duplicated across every planted same-language document while the
+    boundary-spanning windows stay unique.  The oracle replays window
+    enumeration, hashing, and the distinct-document count."""
+    from google_vision_ocr_spark.operators.dedup import duplicate_token_windows
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" please subscribe to our "),
+                F.col("lang"),
+                F.lit(
+                    " newsletter for daily updates and exclusive content"
+                    " delivered straight to your inbox every single"
+                    " morning without fail"
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return duplicate_token_windows(d, window=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1665,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_equidepth_histogram": _events_histogram,
         "zorder_keys": _zorder_keys,
         "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
+        "duplicate_token_windows": _duplicate_windows,
     }
 
 
@@ -2593,6 +2622,43 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS valid_to_us,
                    n_events
             FROM grouped
+        """,
+        "duplicate_token_windows": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN text || ' please subscribe to our '
+                                 || lang
+                                 || ' newsletter for daily updates and'
+                                 || ' exclusive content delivered'
+                                 || ' straight to your inbox every'
+                                 || ' single morning without fail'
+                            ELSE text END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM planted
+            ), sized AS (
+                SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) >= 20
+            ), occ AS (
+                SELECT doc_id, i AS pos,
+                       substr(md5(array_to_string(
+                           list_slice(t, i + 1, i + 20), ' ')), 1, 16)
+                           AS win_key
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(0, n - 20)) AS i
+                      FROM sized)
+            ), dup AS (
+                SELECT win_key,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM occ GROUP BY win_key
+                HAVING count(DISTINCT doc_id) > 1
+            )
+            SELECT occ.doc_id, CAST(pos AS INT) AS pos,
+                   occ.win_key, n_docs
+            FROM occ JOIN dup USING (win_key)
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "fuzzy_vocab_pairs": r"""
