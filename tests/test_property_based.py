@@ -175,3 +175,116 @@ def test_star_contraction_matches_union_find(spark, edges):
     got = {r["node"]: r["component"]
            for r in connected_components_star(df).collect()}
     assert got == _union_find(edges)
+
+
+@SETTINGS
+@given(
+    n_tokens=st.integers(0, 40),
+    size=st.integers(1, 10),
+    stride=st.integers(1, 10),
+)
+def test_token_chunks_cover_exactly_with_stride_ge_size(spark, n_tokens, size, stride):
+    from google_vision_ocr_spark.operators.chunking import token_chunks
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(token_chunks(df, size=size, stride=stride).collect(),
+                  key=lambda r: r.chunk_id)
+    toks = text.split()
+    # reference enumeration
+    want = []
+    pos = 0
+    while pos < len(toks):
+        want.append(toks[pos:pos + size])
+        pos += stride
+    assert [r.chunk_text.split() if r.chunk_text else [] for r in rows] == want
+    assert [r.n_tokens for r in rows] == [len(w) for w in want]
+    if stride >= size:
+        # non-overlapping windows partition a prefix of the tokens
+        flat = [t for w in want for t in w]
+        if stride == size:
+            assert flat == toks
+
+
+@SETTINGS
+@given(
+    old_rows=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    new_rows=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+)
+def test_snapshot_diff_matches_dict_diff(spark, old_rows, new_rows):
+    from google_vision_ocr_spark.operators.merge import snapshot_diff
+
+    schema = "k bigint, v bigint"
+    old = spark.createDataFrame(list(old_rows.items()) or [(None, None)], schema)
+    new = spark.createDataFrame(list(new_rows.items()) or [(None, None)], schema)
+    if not old_rows:
+        old = old.filter("k IS NOT NULL")
+    if not new_rows:
+        new = new.filter("k IS NOT NULL")
+    got = {(r.op, r.k, r.v) for r in snapshot_diff(old, new, ["k"]).collect()}
+    want = set()
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want.add(("insert", k, new_rows[k]))
+        elif k not in new_rows:
+            want.add(("delete", k, old_rows[k]))
+        elif old_rows[k] != new_rows[k]:
+            want.add(("update", k, new_rows[k]))
+    assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 200), min_size=1, max_size=60),
+    bins=st.integers(1, 8),
+)
+def test_equidepth_bins_partition_all_rows_in_value_order(spark, vals, bins):
+    from google_vision_ocr_spark.operators.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    rows = sorted(equi_depth_histogram(df, "value", bins=bins, unit=1).collect())
+    assert sum(r.n_rows for r in rows) == len(vals)
+    # bins are ordered and disjoint in value space
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_value < b.lo_value
+    # reference: assign each distinct value by its first rank
+    import collections
+
+    cnt = collections.Counter(vals)
+    cum = 0
+    want_bins = collections.defaultdict(int)
+    for v in sorted(cnt):
+        want_bins[(cum * bins) // len(vals)] += cnt[v]
+        cum += cnt[v]
+    assert {r.bin: r.n_rows for r in rows} == dict(want_bins)
+
+
+@SETTINGS
+@given(
+    words=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                   min_size=1, max_size=12, unique=True)
+)
+def test_fuzzy_pairs_match_brute_force_levenshtein(spark, words):
+    from google_vision_ocr_spark.operators.fuzzy import fuzzy_word_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {(r.w1, r.w2) for r in fuzzy_word_pairs(df).collect()}
+    want = {
+        (min(a, b), max(a, b))
+        for i, a in enumerate(words)
+        for b in words[i + 1:]
+        if lev(a, b) <= 1
+    }
+    assert got == want
