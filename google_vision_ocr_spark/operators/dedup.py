@@ -394,13 +394,19 @@ def duplicate_token_windows(
     trade the paper makes at 50 BPE tokens).
 
     Scale shape: the explode emits n_tokens-window+1 rows per doc, in
-    the scan task; the duplicate count is a map-side-combinable
-    groupBy on the 16-hex window digest (window TEXT never rides a
-    shuffle); the final join keys on the same digest the count
-    shuffled on, so the exchange is reused.  Collisions: 64 bits of
-    md5 — at 10^12 windows expect ~a few false merges, the same
-    accepted odds as every digest-keyed dedup here (use the full hex
-    for astronomically fewer).
+    the scan task; the distinct-document count plans as the standard
+    two-exchange distinct shape, both stages map-side combinable, with
+    only the 16-hex digest riding the shuffle (window TEXT never
+    does).  Duplicated keys are a tiny fraction of all windows, so AQE
+    broadcasts the >1 set and the occurrence side joins WITHOUT any
+    shuffle (observed in the executed plan); past the broadcast
+    threshold the join degrades to a digest-keyed hash join.  The
+    occurrence subtree is recomputed for the join rather than
+    persisted — it is pure scan-side projection, and re-reading the
+    scan beats materializing a windows-count-sized intermediate.
+    Collisions: 64 bits of md5 — at 10^12 windows expect ~a few false
+    merges, the same accepted odds as every digest-keyed dedup here
+    (use the full hex for astronomically fewer).
     """
     toks = F.expr(
         r"filter(split(lower({c}), '\\s+'), x -> x <> '')".format(c=text_col)
