@@ -1406,11 +1406,25 @@ def _host_pagerank(spark, sf_dir):
     """PageRank over a deterministic host-link graph (each document
     links its source host to a doc_id-derived host), 3 iterations in
     exact fixed-point int64 — the oracle unrolls all three rounds in
-    SQL and matches bit-for-bit, which float PageRank can never do."""
+    SQL and matches bit-for-bit, which float PageRank can never do.
+
+    Edge-rule care (two round-3 traps): the testdata assigns source =
+    'src'||(doc_id%20) EXACTLY, so (a) any dst of the form f(doc_id)
+    mod 20 with f affine is CONSTANT within a source's residue class —
+    dst = doc_id%20 makes every edge a self-loop (empty graph,
+    silently vacuous gate pass) and any other affine f yields a
+    perfect permutation (all ranks exactly uniform — falsifiable in
+    name only); (b) a dense rule gives the complete digraph (uniform
+    again).  The rule here takes a sparse doc subset (doc_id%7=0) and
+    mixes in doc_id div 20, which DOES vary within a residue class:
+    measured out-degrees 2-4, visibly non-uniform ranks."""
     from google_vision_ocr_spark.operators.pagerank import pagerank_fixed_point
 
-    d = _t(spark, sf_dir, "documents")
-    dst = F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    dst = F.concat(
+        F.lit("src"),
+        (F.expr("(doc_id div 20) * 13 + doc_id * 3 + 5") % 20).cast("string"),
+    )
     edges = (
         d.select(F.col("source").alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -2862,9 +2876,13 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": """
             WITH edges AS (
                 SELECT DISTINCT source AS src,
-                       'src' || CAST(doc_id % 20 AS VARCHAR) AS dst
+                       'src' || CAST(((doc_id // 20) * 13 + doc_id * 3 + 5)
+                                     % 20 AS VARCHAR) AS dst
                 FROM documents
-                WHERE source <> 'src' || CAST(doc_id % 20 AS VARCHAR)
+                WHERE doc_id % 7 = 0
+                  AND source <> 'src'
+                      || CAST(((doc_id // 20) * 13 + doc_id * 3 + 5)
+                              % 20 AS VARCHAR)
             ),
             nodes AS (SELECT src AS node FROM edges
                       UNION SELECT dst FROM edges),
