@@ -90,8 +90,16 @@ def _j2_semi_join(spark, sf_dir):
 
 
 def _j3_anti_join(spark, sf_dir):
-    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    # churned customers: no orders since 2000 (every customer has SOME
+    # order, so the unfiltered anti-join returns zero rows and can't
+    # catch a bug — round-3 vacuousness audit)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 def _a1_group_concat(spark, sf_dir):
@@ -214,7 +222,15 @@ def _text_token_counts(spark, sf_dir):
 
 
 def _text_quality_punct(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # the corpus text carries no punctuation at all (ratio 0.0 for all
+    # 500 docs — round-3 vacuousness audit), so plant a deterministic
+    # doc_id%5-char '!' tail to make the ratio a real signal
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.expr("repeat('!', CAST(doc_id % 5 AS INT))")
+        ).alias("text"),
+    )
     n = F.length(F.col("text"))
     punct = n - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
     return d.select(
@@ -225,9 +241,17 @@ def _text_quality_punct(spark, sf_dir):
 
 
 def _dedup_exact(spark, sf_dir):
+    # every testdata text is unique (all 500 groups were size 1 —
+    # round-3 vacuousness audit), so clone doc_id%13 documents under
+    # +1e6 ids: those groups must report n_copies=2 with the ORIGINAL
+    # id as keeper
     from google_vision_ocr_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup(d.unionByName(clones))
 
 
 def _events_hourly(spark, sf_dir):
@@ -814,16 +838,23 @@ def _retention_cohorts(spark, sf_dir):
     """Cohort retention: users cohorted by first-activity week, counted
     in each later week they were active — two hash-aggs and one join on
     user_id, all-integer output."""
+    # DAY cohorts, not weeks: the events table spans 30 days, so week
+    # cohorts collapsed to a single cohort_week=0 (round-3 vacuousness
+    # audit); days give a real 2-cohort x 30-day retention matrix
     e = _t(spark, sf_dir, "events")
-    week = F.floor(
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
     ).cast("bigint")
-    ev = e.select("user_id", week.alias("week")).distinct()
-    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    ev = e.select("user_id", day.alias("day")).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         ev.join(first, "user_id")
-        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"), "user_id")
-        .groupBy("cohort_week", "weeks_since")
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("days_since"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "days_since")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
 
@@ -1985,7 +2016,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j3_anti_join": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-01-01 00:00:00')
         """,
         "a1_group_concat_framed": f"""
             SELECT source,
@@ -2064,15 +2098,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality_punct": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || repeat('!', CAST(doc_id % 5 AS INT)) AS text
+                FROM documents
+            )
             SELECT doc_id, cast(length(text) AS bigint) AS n_chars_calc,
                    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                          * 1.0 / length(text), 6) AS punct_ratio
-            FROM documents
+            FROM d
         """,
         "dedup_exact": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 13 = 0
+            )
             SELECT md5(text) AS text_hash, count(*) AS n_copies,
                    min(doc_id) AS keeper_doc_id
-            FROM documents GROUP BY md5(text)
+            FROM d GROUP BY md5(text)
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_ts, event_type,
@@ -2429,13 +2474,13 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": """
             WITH ev AS (
                 SELECT DISTINCT user_id,
-                       CAST(floor(datediff('day', DATE '2024-01-01',
-                                           CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+                       CAST(datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day
                 FROM events
             ), first AS (
-                SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+                SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
             )
-            SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
+            SELECT f.cohort_day, e.day - f.cohort_day AS days_since,
                    count(DISTINCT e.user_id) AS n_users
             FROM ev e JOIN first f USING (user_id)
             GROUP BY 1, 2
