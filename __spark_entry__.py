@@ -1648,6 +1648,65 @@ def _duplicate_windows(spark, sf_dir):
     return duplicate_token_windows(d, window=20)
 
 
+def _tier_extraction(spark, sf_dir):
+    """THE composite this engine exists for — web-corpus tier
+    extraction in one declarative plan: near-dup keep-one (3-shingle
+    Jaccard pairs -> connected components -> anti-join the cluster
+    losers), per-document quality scoring, and fixed-point host
+    PageRank authority, joined and classified into head/mid/tail
+    tiers.  Every stage reuses an already-hash-gated operator, and the
+    oracle replays the ENTIRE composite — dedup reachability
+    (recursive CTE), the quality formula, all three PageRank rounds,
+    and the tier CASE — in a single SQL statement."""
+    import pandas as pd  # noqa: F811
+
+    from google_vision_ocr_spark.functions.text import quality_score
+    from google_vision_ocr_spark.operators.components import connected_components
+    from google_vision_ocr_spark.operators.dedup import ngram_jaccard_pairs
+    from google_vision_ocr_spark.operators.pagerank import pagerank_fixed_point
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+
+    @F.pandas_udf("double")
+    def quality_udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(quality_score)
+
+    sparse = d.filter(F.col("doc_id") % 7 == 0)
+    dst = F.concat(
+        F.lit("src"),
+        (F.expr("(doc_id div 20) * 13 + doc_id * 3 + 5") % 20).cast("string"),
+    )
+    edges = sparse.select(F.col("source").alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    pr = pagerank_fixed_point(edges, iterations=3).withColumnRenamed(
+        "node", "source"
+    )
+    scored = (
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", quality_udf(F.col("text")).alias("quality"))
+        .join(F.broadcast(pr), "source")
+    )
+    tier = (
+        F.when(
+            (F.col("quality") >= 0.6) & (F.col("rank") > 50000000000),
+            F.lit("head"),
+        )
+        .when(F.col("quality") >= 0.6, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "source", "quality",
+        F.col("rank").alias("host_rank_fp"), tier.alias("tier"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents_flagship": _flagship,
@@ -1739,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _zorder_keys,
         "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
         "duplicate_token_windows": _duplicate_windows,
+        "tier_extraction": _tier_extraction,
     }
 
 
@@ -1964,6 +2024,120 @@ def _exact_jaccard_oracle(threshold: float) -> str:
             FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id, a.n, b.n
             HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= {threshold}
+        """
+
+
+def _tier_oracle_sql() -> str:
+    """The whole tier-extraction composite in one SQL statement:
+    near-dup keep-one (3-shingle Jaccard >= 0.5 -> recursive
+    reachability), the quality-heuristic mirror, and the 3-iteration
+    fixed-point host PageRank, joined and classified into tiers."""
+    return f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks
+            ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+            jpairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.n, b.n
+                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+            ), uedges AS (
+                SELECT id_a AS u, id_b AS v FROM jpairs
+                UNION SELECT id_b, id_a FROM jpairs
+            ), reach AS (
+                SELECT u AS node, v AS r FROM uedges
+                UNION
+                SELECT e.u, r.r FROM uedges e JOIN reach r ON e.v = r.node
+            ), losers AS (
+                SELECT node FROM reach GROUP BY node
+                HAVING least(node, min(r)) <> node
+            ), dq AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+            feat AS (
+                SELECT doc_id, {_quality_feature_sql('t')}
+                FROM dq
+            ), f2 AS (
+                SELECT doc_id, n_chars, punct, non_space, alnum,
+                {_TOKEN_STATS_SQL}
+                FROM feat
+            ), q AS (
+                SELECT doc_id, {_QUALITY_CASE_SQL} AS quality
+                FROM f2
+            ), hedges AS (
+                SELECT DISTINCT source AS src,
+                       'src' || CAST(((doc_id // 20) * 13 + doc_id * 3 + 5)
+                                     % 20 AS VARCHAR) AS dst
+                FROM documents
+                WHERE doc_id % 7 = 0
+                  AND source <> 'src'
+                      || CAST(((doc_id // 20) * 13 + doc_id * 3 + 5)
+                              % 20 AS VARCHAR)
+            ),
+            -- NOT "a UNION b": inside a WITH RECURSIVE clause DuckDB
+            -- treats ANY top-level UNION as the recursive base/step
+            -- operator and skips the dedup (hnodes came back 134 rows
+            -- for 20 nodes, multiplying every rank downstream)
+            hnodes AS (SELECT DISTINCT node FROM (
+                           SELECT src AS node FROM hedges
+                           UNION ALL SELECT dst FROM hedges)),
+            hn AS (SELECT count(*) AS n FROM hnodes),
+            hdeg AS (SELECT src, count(*) AS deg FROM hedges GROUP BY src),
+            prb AS (
+                SELECT node,
+                       15000000000000 // (100 * n) AS t,
+                       1000000000000 // n AS r
+                FROM hnodes CROSS JOIN hn
+            ),
+            pr1 AS (
+                SELECT b.node, b.t,
+                       b.t + (85 * coalesce(f.inflow, 0)) // 100 AS r
+                FROM prb b LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // d.deg) AS inflow
+                    FROM hedges e
+                    JOIN prb p ON p.node = e.src
+                    JOIN hdeg d ON d.src = e.src
+                    GROUP BY e.dst) f ON f.node = b.node
+            ),
+            pr2 AS (
+                SELECT b.node, b.t,
+                       b.t + (85 * coalesce(f.inflow, 0)) // 100 AS r
+                FROM prb b LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // d.deg) AS inflow
+                    FROM hedges e
+                    JOIN pr1 p ON p.node = e.src
+                    JOIN hdeg d ON d.src = e.src
+                    GROUP BY e.dst) f ON f.node = b.node
+            ),
+            pr3 AS (
+                SELECT b.node, b.t,
+                       b.t + (85 * coalesce(f.inflow, 0)) // 100 AS r
+                FROM prb b LEFT JOIN (
+                    SELECT e.dst AS node, sum(p.r // d.deg) AS inflow
+                    FROM hedges e
+                    JOIN pr2 p ON p.node = e.src
+                    JOIN hdeg d ON d.src = e.src
+                    GROUP BY e.dst) f ON f.node = b.node
+            )
+            SELECT d.doc_id, d.lang, d.source, q.quality,
+                   CAST(pr3.r AS BIGINT) AS host_rank_fp,
+                   CASE WHEN q.quality >= 0.6 AND pr3.r > 50000000000
+                        THEN 'head'
+                        WHEN q.quality >= 0.6 THEN 'mid'
+                        ELSE 'tail' END AS tier
+            FROM documents d
+            JOIN q USING (doc_id)
+            JOIN pr3 ON pr3.node = d.source
+            WHERE d.doc_id NOT IN (SELECT node FROM losers)
         """
 
 
@@ -2720,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
             FROM occ JOIN dup USING (win_key)
         """,
         "zorder_keys": _zorder_oracle_sql(),
+        "tier_extraction": _tier_oracle_sql(),
         "fuzzy_vocab_pairs": r"""
             WITH base_words AS (
                 SELECT unnest(list_filter(string_split_regex(lower(text),
