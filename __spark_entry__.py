@@ -1096,6 +1096,84 @@ def _tpch_q19(spark, sf_dir):
     )
 
 
+def _tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume-shipping shape: the two-nation trade query —
+    lineitem⋈orders⋈customer⋈nation(cust) and ⋈supplier⋈nation(supp),
+    with the symmetric nation-pair disjunction applied AFTER both
+    joins (it references both sides), grouped by year.  Both nation
+    dims and the supplier table broadcast; decimal-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(3,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_3")
+             & (F.col("supp_nation") == "NATION_7"))
+            | ((F.col("cust_nation") == "NATION_7")
+               & (F.col("supp_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+def _tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global-sales-opportunity shape: scalar aggregate
+    subquery (corpus-wide positive-balance average) feeding a filter,
+    anti-joined against recent orders, grouped by nation.
+
+    The above-average test is EXACT INTEGER: acctbal_cents · n >
+    Σcents avoids comparing against a float average whose summation
+    order differs per engine — a boundary customer would otherwise
+    flip (the tpch_q3 lesson applied to thresholds).  Adaptation: no
+    c_phone column, so grouping is by c_nationkey; 'no recent orders'
+    replaces 'no orders' (every testdata customer has some order)."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    cc = c.select("c_custkey", "c_nationkey", "c_acctbal", cents.alias("__c"))
+    pos = cc.filter(F.col("__c") > 0).agg(
+        F.sum("__c").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cc.crossJoin(F.broadcast(pos))
+        .filter(F.col("__c") * F.col("__n") > F.col("__s"))
+        .join(recent, cc["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def _top_words_per_lang(spark, sf_dir):
     """Heavy hitters: top-5 words per language by corpus frequency.
     Two-phase top-k: per (lang, hash-bucket) top-5 first, then the
@@ -1773,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_distribution": _tpch_q13,
         "tpch_q17_small_quantity": _tpch_q17,
         "tpch_q19_disjunctive_revenue": _tpch_q19,
+        "tpch_q7_two_nation_volume": _tpch_q7,
+        "tpch_q22_sales_opportunity": _tpch_q22,
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_one": _dedup_keep_one,
@@ -3194,6 +3274,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON p_partkey = lineitem.l_partkey
             JOIN t ON t.l_partkey = lineitem.l_partkey
             WHERE p_brand = 'Brand#23' AND l_quantity < qty_thresh
+        """,
+        "tpch_q7_two_nation_volume": """
+            SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2))
+                                     - CAST(l_discount AS DECIMAL(12,2)))),
+                              2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q22_sales_opportunity": """
+            WITH cc AS (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ), pos AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM cc WHERE cents > 0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS totacctbal
+            FROM cc CROSS JOIN pos
+            WHERE cents * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY c_nationkey
         """,
         "tpch_q19_disjunctive_revenue": """
             SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
