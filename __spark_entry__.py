@@ -1726,6 +1726,36 @@ def _duplicate_windows(spark, sf_dir):
     return duplicate_token_windows(d, window=20)
 
 
+def _events_anomalies(spark, sf_dir):
+    """Data-quality anomaly detection: flag events whose value sits
+    more than 3σ from its event-type mean.  The test is derived
+    entirely from exact integer cent moments — the comparison
+    (c·n − s1)²·(n−1) > 9·n·(n·s2 − s1²) is evaluated on doubles CAST
+    from exact int64s with an identical expression tree on both
+    engines, so the boundary is deterministic (no float-accumulated
+    mean/σ to disagree about).  One pass for moments (broadcast back),
+    one scan-side filter."""
+    e = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    m = (
+        e.select(F.col("event_type"), c.alias("__c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__c").alias("__s1"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__s2"),
+        )
+    )
+    j = e.select("event_id", "event_type", "value", c.alias("__c")).join(
+        F.broadcast(m), "event_type"
+    )
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
+    dev = (F.col("__c") * n - s1).cast("double")
+    lhs = dev * dev * (n - F.lit(1)).cast("double")
+    rhs = F.lit(9.0) * n.cast("double") * (n * s2 - s1 * s1).cast("double")
+    return j.filter(lhs > rhs).select("event_id", "event_type", "value")
+
+
 def _tier_extraction(spark, sf_dir):
     """THE composite this engine exists for — web-corpus tier
     extraction in one declarative plan: near-dup keep-one (3-shingle
@@ -1879,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
         "duplicate_token_windows": _duplicate_windows,
         "tier_extraction": _tier_extraction,
+        "events_value_anomalies": _events_anomalies,
     }
 
 
@@ -2975,6 +3006,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "events_value_anomalies": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS s1,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM (SELECT event_type,
+                             CAST(round(value * 100) AS BIGINT) AS c
+                      FROM events)
+                GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value
+            FROM (SELECT event_id, event_type, value,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events) e
+            JOIN m ON m.event_type = e.event_type
+            WHERE CAST(c * n - s1 AS DOUBLE) * CAST(c * n - s1 AS DOUBLE)
+                  * CAST(n - 1 AS DOUBLE)
+                > 9.0 * CAST(n AS DOUBLE) * CAST(n * s2 - s1 * s1 AS DOUBLE)
+        """,
         "fuzzy_vocab_pairs": r"""
             WITH base_words AS (
                 SELECT unnest(list_filter(string_split_regex(lower(text),
