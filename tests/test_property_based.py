@@ -288,3 +288,117 @@ def test_fuzzy_pairs_match_brute_force_levenshtein(spark, words):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.sampled_from("abc")),
+        min_size=1, max_size=30, unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_scd2_matches_python_run_length(spark, events):
+    """type2_history vs a direct per-user run-length scan.  Event ids
+    are made unique per (user, second) so ordering is total."""
+    import datetime as dt
+
+    from google_vision_ocr_spark.operators.scd2 import type2_history
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=sec), user, state)
+        for i, (user, sec, state) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = sorted(
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.n_events)
+        for r in type2_history(df).collect()
+    )
+    want = []
+    by_user = {}
+    for i, (user, sec, state) in enumerate(events):
+        by_user.setdefault(user, []).append((sec, i, state))
+    for user, evs in by_user.items():
+        evs.sort()
+        runs = []
+        for sec, _, state in evs:
+            # aware UTC epoch: naive .timestamp() would read the local
+            # zone while the Spark session pins UTC
+            us = int(
+                (t0 + dt.timedelta(seconds=sec))
+                .replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+            )
+            if runs and runs[-1][0] == state:
+                runs[-1][2] += 1
+            else:
+                runs.append([state, us, 1])
+        for k, (state, us, cnt) in enumerate(runs):
+            to = runs[k + 1][1] if k + 1 < len(runs) else -1
+            want.append((user, state, us, to, cnt))
+    assert got == sorted(want)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=20,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_matches_python_fixed_point(spark, edges, iters):
+    from google_vision_ocr_spark.operators.pagerank import SCALE, pagerank_fixed_point
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank_fixed_point(df, iterations=iters).collect()}
+    es = sorted({(f"n{a}", f"n{b}") for a, b in edges})
+    nodes = sorted({x for e in es for x in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    t = (15 * SCALE) // (100 * n)
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in es:
+            inflow[d] += r[s] // deg[s]
+        r = {v: t + (85 * inflow[v]) // 100 for v in nodes}
+    assert got == r
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from("xy"), st.integers(-5000, 5000)),
+        min_size=4, max_size=40,
+    ).filter(lambda v: all(sum(1 for g, _ in v if g == k) >= 2 for k in {g for g, _ in v}))
+)
+def test_moments_match_python_exact(spark, vals):
+    """events_value_moments arithmetic vs Python's exact integers
+    (values arrive as exact cents so round(x*100) is lossless)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    rows = [(i, g, c / 100.0) for i, (g, c) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in entry_mod.queries()["events_value_moments"](spark, d).collect()
+        }
+    for g in {g for g, _ in vals}:
+        cs = [c for gg, c in vals if gg == g]
+        n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        mean = s1 / (100.0 * n)
+        var = (n * s2 - s1 * s1) / (n * (n - 1) * 10000.0)
+        assert abs(got[g].mean_value - round(mean, 6)) < 1e-9
+        assert abs(got[g].var_value - round(var, 6)) < 1e-9
+        assert abs(got[g].std_value - round(math.sqrt(var), 6)) < 1e-9
