@@ -35,17 +35,21 @@ def token_chunks(
     text_col: str = "text",
     size: int = 64,
     stride: int | None = None,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Explode each document into (id, chunk_id, chunk_text, n_tokens)
-    rows of at most ``size`` whitespace tokens, windows starting every
-    ``stride`` tokens (default: ``size``, i.e. non-overlapping)."""
+    """Explode each document into (id, [passthrough...], chunk_id,
+    chunk_text, n_tokens) rows of at most ``size`` whitespace tokens,
+    windows starting every ``stride`` tokens (default: ``size``, i.e.
+    non-overlapping).  ``passthrough_cols`` ride along scan-side (e.g.
+    a split label) — cheaper than joining them back afterwards."""
     if stride is None:
         stride = size
     if size <= 0 or stride <= 0:
         raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    extra = [F.col(c) for c in passthrough_cols]
     toks = F.expr(_TOKENS_EXPR.format(col=text_col))
     base = (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        df.select(F.col(id_col), *extra, toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
         .filter(F.col("__n") > 0)
     )
@@ -55,11 +59,13 @@ def token_chunks(
     return (
         base.select(
             F.col(id_col),
+            *extra,
             F.explode(starts).alias("chunk_id"),
             F.col("__toks"),
         )
         .select(
             F.col(id_col),
+            *extra,
             F.col("chunk_id"),
             F.array_join(win, " ").alias("chunk_text"),
             F.size(win).cast("int").alias("n_tokens"),

@@ -14,7 +14,11 @@ from the operators this package already ships:
 6. token-budget shard packing (two-pass distributed prefix sum) within
    each split;
 7. sharded ``*.json.gz`` corpus + a parquet shard manifest + a JSON
-   report with every funnel counter.
+   report with every funnel counter;
+8. optionally (``chunk_size``): fixed-size token-window training
+   sequences written as a parquet table alongside the corpus —
+   scan-side generate over the already-persisted corpus frame, no
+   extra shuffle.
 
 Each stage is the scale-shape variant documented in ``docs/PLANS.md``;
 the pipeline adds no new shuffle beyond its stages' own.  The corpus
@@ -50,6 +54,8 @@ def run_corpus_pipeline(
     lm_vocab: int = 1000,
     max_avg_neg_logprob: float | None = None,
     shard_token_budget: int = 2000,
+    chunk_size: int | None = None,
+    chunk_stride: int | None = None,
     **curate_kwargs,
 ) -> dict:
     """Run the full pipeline; returns the report dict (also written to
@@ -107,6 +113,18 @@ def run_corpus_pipeline(
     report = curation_report(corpus, obs)
     report["docs_written"] = n_written
     report["n_shards"] = manifest.count()
+    if chunk_size is not None:
+        from ..operators.chunking import token_chunks
+
+        chunks = token_chunks(
+            corpus.select(F.col("url"), "split", "text"),
+            id_col="url", size=chunk_size, stride=chunk_stride,
+            passthrough_cols=("split",),
+        )
+        chunks.write.mode("overwrite").partitionBy("split").parquet(
+            os.path.join(out_dir, "chunks")
+        )
+        report["n_chunks"] = chunks.count()
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
     # every output is materialized by now; free the tracked persists so

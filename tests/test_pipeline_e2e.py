@@ -17,6 +17,7 @@ def test_corpus_pipeline_end_to_end(spark, fixture_dir, tmp_path):
     os.makedirs(out, exist_ok=True)
     report = run_corpus_pipeline(
         pages, out, min_quality=0.1, min_tokens=2, shard_token_budget=500,
+        chunk_size=32, chunk_stride=24,
     )
     # report sanity: the funnel only narrows
     assert report["docs_in"] >= report["pass_quality"] >= report["pass_lang"]
@@ -43,3 +44,13 @@ def test_corpus_pipeline_end_to_end(spark, fixture_dir, tmp_path):
     biggest_doc = 2000  # fixture docs are far smaller than this
     assert worst < 500 + biggest_doc
     assert man.count() == report["n_shards"]
+
+    # training-sequence chunks: split-partitioned parquet, windows of
+    # at most 32 tokens, every written doc represented
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert chunks.count() == report["n_chunks"] > 0
+    assert chunks.agg(F.max("n_tokens")).collect()[0][0] <= 32
+    assert chunks.select("url").distinct().count() == report["docs_written"]
+    assert {r.split for r in chunks.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
