@@ -1174,6 +1174,47 @@ def _tpch_q22(spark, sf_dir):
     )
 
 
+def _tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national-market-share shape: a 7-table star (two nation
+    roles + region) feeding a conditional-revenue ratio per year.  All
+    dims broadcast; the share is decimal-exact sums CAST to double
+    before one division (the q14 pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(3,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    n3 = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(n3).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def _top_words_per_lang(spark, sf_dir):
     """Heavy hitters: top-5 words per language by corpus frequency.
     Two-phase top-k: per (lang, hash-bucket) top-5 first, then the
@@ -1882,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity": _tpch_q17,
         "tpch_q19_disjunctive_revenue": _tpch_q19,
         "tpch_q7_two_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
         "tpch_q22_sales_opportunity": _tpch_q22,
         "top_words_per_lang": _top_words_per_lang,
         "dedup_clusters": _dedup_clusters,
@@ -3344,6 +3386,32 @@ def oracle_sql() -> dict[str, str]:
               AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
             GROUP BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                JOIN part ON l_partkey = p_partkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            )
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN rev
+                                       ELSE CAST(0 AS DECIMAL(12,2)) END)
+                              AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+                   CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+            FROM j GROUP BY o_year
         """,
         "tpch_q22_sales_opportunity": """
             WITH cc AS (
