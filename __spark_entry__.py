@@ -1797,6 +1797,19 @@ def _events_anomalies(spark, sf_dir):
     return j.filter(lhs > rhs).select("event_id", "event_type", "value")
 
 
+def _jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 projection with a deterministic ±1
+    sign matrix and a left-fold dot product — the dimensionality
+    reduction step ahead of ANN, exploded to (vec_id, dim, value) rows
+    so the typed-hash gate can check every coordinate."""
+    from google_vision_ocr_spark.operators.similarity import random_projection
+
+    p = random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    return p.select(
+        "vec_id", F.posexplode("proj").alias("dim", "__v")
+    ).select("vec_id", "dim", F.round("__v", 6).alias("proj_value"))
+
+
 def _tier_extraction(spark, sf_dir):
     """THE composite this engine exists for — web-corpus tier
     extraction in one declarative plan: near-dup keep-one (3-shingle
@@ -1952,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_token_windows": _duplicate_windows,
         "tier_extraction": _tier_extraction,
         "events_value_anomalies": _events_anomalies,
+        "jl_projection": _jl_projection,
     }
 
 
@@ -3048,6 +3062,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "jl_projection": """
+            WITH p AS (
+                SELECT vec_id,
+                       list_transform(generate_series(0, 15), j ->
+                           list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                   list_transform(generate_series(0, 63), i ->
+                                       CAST(embedding[i + 1] AS DOUBLE)
+                                       * (CASE WHEN ((j * 1315423911
+                                                      + i * 2654435761)
+                                                     % 1000003) % 2 = 0
+                                               THEN CAST(1.0 AS DOUBLE)
+                                               ELSE CAST(-1.0 AS DOUBLE)
+                                          END))),
+                               (a, b) -> a + b)
+                           / sqrt(CAST(16 AS DOUBLE))) AS proj
+                FROM embeddings
+            )
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   round(proj[i], 6) AS proj_value
+            FROM (SELECT vec_id, proj,
+                         unnest(generate_series(1, 16)) AS i
+                  FROM p)
+        """,
         "events_value_anomalies": """
             WITH m AS (
                 SELECT event_type,

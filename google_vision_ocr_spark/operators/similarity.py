@@ -415,3 +415,50 @@ def hyperplane_lsh_topk(
         .limit(k)
         .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
     )
+
+
+def random_projection_expr(vec_col: str, in_dim: int, out_dim: int) -> str:
+    """SQL expression projecting ``vec_col`` (array<float>, length
+    ``in_dim``) to ``out_dim`` dims with a deterministic ±1
+    Johnson-Lindenstrauss matrix, scaled by 1/sqrt(out_dim).
+
+    The sign matrix is pure integer arithmetic —
+    ``((j·1315423911 + i·2654435761) % 1000003) % 2`` — and the dot
+    product is a LEFT FOLD in index order (`aggregate` with a 0.0
+    init), so any engine that folds left (DuckDB ``list_reduce`` over
+    a 0.0-prepended list) reproduces the projection bit-for-bit: no
+    RNG state to ship, no float-sum reorder to disagree on.  The same
+    recipe every distributed JL implementation needs anyway — a
+    materialized projection matrix is just a broadcast of this
+    function's values.
+
+    Scale shape: scan-side per-row arithmetic (in_dim·out_dim fused
+    multiply-adds inside codegen'd higher-order functions), no
+    shuffle, no Python.  Use before the ANN families here to cut the
+    cosine cost 4x (64→16) while keeping planted-neighbor recall (the
+    JL guarantee; verified on the planted fixtures in tests)."""
+    # sequence() yields 32-bit ints: the hash products overflow ANSI
+    # int arithmetic unless widened first
+    sign = ("CASE WHEN ((cast(j as bigint) * 1315423911 "
+            "+ cast(i as bigint) * 2654435761) % 1000003) % 2 = 0 "
+            "THEN 1.0D ELSE -1.0D END")
+    return (
+        f"transform(sequence(0, {out_dim - 1}), j -> "
+        f"aggregate(sequence(0, {in_dim - 1}), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at({vec_col}, i + 1) as double) * {sign}, "
+        f"acc -> acc / sqrt(cast({out_dim} as double))))"
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Attach ``proj`` — the JL-projected vector — to each row."""
+    return df.select(
+        F.col(id_col),
+        F.expr(random_projection_expr(vec_col, in_dim, out_dim)).alias("proj"),
+    )
