@@ -264,3 +264,15 @@ def test_tpch_q17_q19_broadcast_part_dim(spark):
         e.queries()["tpch_q19_disjunctive_revenue"](spark, "/root/testdata/sf0.001")
     )
     assert "BroadcastHashJoin" in q19
+
+
+def test_jl_projection_is_scan_side(spark):
+    """random_projection must stay a shuffle-free scan projection —
+    the whole point of computing the matrix instead of joining one."""
+    from google_vision_ocr_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "vec_id bigint, embedding array<float>"
+    )
+    plan = _plan(random_projection(df, out_dim=8))
+    assert "Exchange" not in plan
