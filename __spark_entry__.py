@@ -1810,6 +1810,19 @@ def _jl_projection(spark, sf_dir):
     ).select("vec_id", "dim", F.round("__v", 6).alias("proj_value"))
 
 
+def _set_intersect_except(spark, sf_dir):
+    """The two set operators not yet under the gate: English documents
+    INTERSECT longer-than-1000-char documents, EXCEPT anything from
+    src0 — Spark intersect/exceptAll against DuckDB's native
+    INTERSECT/EXCEPT, at the doc grain so every set genuinely
+    eliminates rows."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en").select("doc_id")
+    long_ = d.filter(F.col("n_chars") > 1000).select("doc_id")
+    src0 = d.filter(F.col("source") == "src0").select("doc_id")
+    return en.intersect(long_).exceptAll(src0)
+
+
 def _tier_extraction(spark, sf_dir):
     """THE composite this engine exists for — web-corpus tier
     extraction in one declarative plan: near-dup keep-one (3-shingle
@@ -1966,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_extraction": _tier_extraction,
         "events_value_anomalies": _events_anomalies,
         "jl_projection": _jl_projection,
+        "set_intersect_except": _set_intersect_except,
     }
 
 
@@ -3062,6 +3076,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "set_intersect_except": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            INTERSECT
+            SELECT doc_id FROM documents WHERE n_chars > 1000
+            EXCEPT
+            SELECT doc_id FROM documents WHERE source = 'src0'
+        """,
         "jl_projection": """
             WITH p AS (
                 SELECT vec_id,
