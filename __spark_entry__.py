@@ -1812,13 +1812,15 @@ def _jl_projection(spark, sf_dir):
 
 def _set_intersect_except(spark, sf_dir):
     """The two set operators not yet under the gate: English documents
-    INTERSECT longer-than-1000-char documents, EXCEPT anything from
-    src0 — Spark intersect/exceptAll against DuckDB's native
-    INTERSECT/EXCEPT, at the doc grain so every set genuinely
-    eliminates rows."""
+    INTERSECT longer-than-median documents (n_chars > 300), EXCEPT
+    anything from src0 — Spark intersect/exceptAll against DuckDB's
+    native INTERSECT/EXCEPT, at the doc grain with thresholds chosen
+    against the data so every set genuinely eliminates rows (n_chars
+    spans 48-553; an earlier >1000 cut made the result empty — the
+    vacuousness audit again)."""
     d = _t(spark, sf_dir, "documents")
     en = d.filter(F.col("lang") == "en").select("doc_id")
-    long_ = d.filter(F.col("n_chars") > 1000).select("doc_id")
+    long_ = d.filter(F.col("n_chars") > 300).select("doc_id")
     src0 = d.filter(F.col("source") == "src0").select("doc_id")
     return en.intersect(long_).exceptAll(src0)
 
@@ -3079,7 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect_except": """
             SELECT doc_id FROM documents WHERE lang = 'en'
             INTERSECT
-            SELECT doc_id FROM documents WHERE n_chars > 1000
+            SELECT doc_id FROM documents WHERE n_chars > 300
             EXCEPT
             SELECT doc_id FROM documents WHERE source = 'src0'
         """,
