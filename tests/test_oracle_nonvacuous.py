@@ -1,0 +1,31 @@
+"""Every oracle must return rows on the gate's own data — a query
+whose interesting predicate selects nothing passes the hash gate
+vacuously (both engines agreeing on empty proves nothing).  Round 3
+caught five such queries (an all-self-loop pagerank graph, an empty
+anti-join, all-singleton dedup groups, an all-zero punct ratio, a
+one-cohort retention) and this pins the fix.  DuckDB-only: fast, no
+Spark session."""
+
+import glob
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for p in sorted(glob.glob(f"{SF_DIR}/*.parquet")):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.execute(f"create view {name} as select * from read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_returns_rows(con, name):
+    n = len(con.execute(entry_mod.oracle_sql()[name]).df())
+    assert n > 0, f"{name}: oracle returned 0 rows — vacuous gate entry"
