@@ -1825,6 +1825,22 @@ def _set_intersect_except(spark, sf_dir):
     return en.intersect(long_).exceptAll(src0)
 
 
+def _weighted_median(spark, sf_dir):
+    """Custom aggregation through the GROUPED_AGG pandas-UDF surface:
+    exact lower weighted median of event values per type, with
+    deterministic integer weights (1 + event_id%5).  The oracle
+    replays the rule in pure SQL (value-grain weight sums + running
+    total + min-where-2cum>=total), so the Arrow UDAF path itself is
+    hash-checked."""
+    from google_vision_ocr_spark.operators.udaf import weighted_median_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value",
+        (F.lit(1) + F.col("event_id") % 5).cast("bigint").alias("wt"),
+    )
+    return weighted_median_by(e, "event_type", "value", "wt")
+
+
 def _tier_extraction(spark, sf_dir):
     """THE composite this engine exists for — web-corpus tier
     extraction in one declarative plan: near-dup keep-one (3-shingle
@@ -1982,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_anomalies": _events_anomalies,
         "jl_projection": _jl_projection,
         "set_intersect_except": _set_intersect_except,
+        "events_weighted_median": _weighted_median,
     }
 
 
@@ -3078,6 +3095,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "events_weighted_median": """
+            WITH w AS (
+                SELECT event_type, value,
+                       CAST(sum(1 + event_id % 5) AS BIGINT) AS wt
+                FROM events GROUP BY event_type, value
+            ), c AS (
+                SELECT event_type, value, wt,
+                       CAST(sum(wt) OVER (PARTITION BY event_type
+                                          ORDER BY value
+                                          ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum,
+                       CAST(sum(wt) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS total
+                FROM w
+            )
+            SELECT event_type, min(value) AS weighted_median
+            FROM c WHERE 2 * cum >= total
+            GROUP BY event_type
+        """,
         "set_intersect_except": """
             SELECT doc_id FROM documents WHERE lang = 'en'
             INTERSECT
