@@ -26,8 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-@F.pandas_udf("double")
-def _weighted_median(v: pd.Series, w: pd.Series) -> float:
+def _weighted_median_py(v: pd.Series, w: pd.Series) -> float:
     by_value = pd.DataFrame({"v": v, "w": w}).groupby("v", sort=True)["w"].sum()
     cum = by_value.cumsum()
     total = int(by_value.sum())
@@ -42,8 +41,13 @@ def weighted_median_by(
     weight_col: str,
 ) -> DataFrame:
     """Exact lower weighted median of ``value_col`` per ``group_col``
-    with integer weights from ``weight_col``."""
+    with integer weights from ``weight_col``.
+
+    The UDF is built lazily per call: decorating at module scope needs
+    an active SparkSession at IMPORT time, which breaks sessionless
+    ``--py-files`` shipping (the round-2 curate lesson, pinned by
+    tests/test_functions_config.py)."""
+    udf = F.pandas_udf(_weighted_median_py, "double")
     return df.groupBy(group_col).agg(
-        _weighted_median(F.col(value_col), F.col(weight_col))
-        .alias("weighted_median")
+        udf(F.col(value_col), F.col(weight_col)).alias("weighted_median")
     )
