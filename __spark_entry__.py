@@ -1825,6 +1825,31 @@ def _set_intersect_except(spark, sf_dir):
     return en.intersect(long_).exceptAll(src0)
 
 
+def _events_cube(spark, sf_dir):
+    """CUBE over (event_type, week): all four grouping sets — rollup's
+    missing sibling (it skips the per-week-across-types slice).  Same
+    'ALL' + grouping-id hygiene as events_rollup, integer-cents sums."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cubed = (
+        e.withColumn("week", (F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ) / 7).cast("bigint"))
+        .withColumn("__c", cents)
+        .cube("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__c").cast("double") / F.lit(100.0)).alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+    return cubed.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("week").cast("string"), F.lit("ALL")).alias("week"),
+        "n_events", "sum_value", "gid",
+    )
+
+
 def _weighted_median(spark, sf_dir):
     """Custom aggregation through the GROUPED_AGG pandas-UDF surface:
     exact lower weighted median of event values per type, with
@@ -1999,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": _jl_projection,
         "set_intersect_except": _set_intersect_except,
         "events_weighted_median": _weighted_median,
+        "events_cube_weekly": _events_cube,
     }
 
 
@@ -3095,6 +3121,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "events_cube_weekly": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) // 7 AS BIGINT)
+                           AS week,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(week AS VARCHAR), 'ALL') AS week,
+                   count(*) AS n_events,
+                   CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value,
+                   CAST(GROUPING(event_type, week) AS BIGINT) AS gid
+            FROM e
+            GROUP BY CUBE(event_type, week)
+        """,
         "events_weighted_median": """
             WITH w AS (
                 SELECT event_type, value,
