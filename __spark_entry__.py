@@ -1825,6 +1825,30 @@ def _set_intersect_except(spark, sf_dir):
     return en.intersect(long_).exceptAll(src0)
 
 
+def _session_window_builtin(spark, sf_dir):
+    """Spark's built-in session_window aggregation (the declarative
+    twin of the applyInPandasWithState sessionizer already under the
+    gate): 30-minute-gap sessions per user, counted in one groupBy.
+    The oracle replays the gap rule as gaps-and-islands SQL — start =
+    min(ts), end = max(ts) + gap — in epoch micros."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp"))
+            .alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def _events_cube(spark, sf_dir):
     """CUBE over (event_type, week): all four grouping sets — rollup's
     missing sibling (it skips the per-week-across-types slice).  Same
@@ -2025,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_except": _set_intersect_except,
         "events_weighted_median": _weighted_median,
         "events_cube_weekly": _events_cube,
+        "events_session_window": _session_window_builtin,
     }
 
 
@@ -3121,6 +3146,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "events_session_window": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts)
+                                 - lag(epoch_us(ts)) OVER w > 1800000000
+                              OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), runs AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS sid
+                FROM ordered
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS session_start_us,
+                   max(epoch_us(ts)) + 1800000000 AS session_end_us,
+                   count(*) AS n_events
+            FROM runs GROUP BY user_id, sid
+        """,
         "events_cube_weekly": """
             WITH e AS (
                 SELECT event_type,
