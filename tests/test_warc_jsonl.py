@@ -109,3 +109,30 @@ def test_warc_malformed_content_length_raises_descriptive():
                b"Content-Length: 9999\r\n\r\nshort")
     with pytest.raises(ValueError, match="overruns"):
         list(iter_warc_records(overrun))
+
+
+def test_jsonl_read_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: good rows parse, malformed lines come
+    back as auditable raw strings, nothing is silently dropped."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from google_vision_ocr_spark.sources.jsonl import read_jsonl_corpus
+
+    p = tmp_path / "drop"
+    os.makedirs(p)
+    lines = [json.dumps({"doc_id": i, "text": f"doc {i}"}) for i in range(5)]
+    lines.insert(2, '{"doc_id": 99, "text": "unterminated')  # malformed
+    lines.insert(4, "not json at all")
+    (p / "part-000.jsonl").write_text("\n".join(lines))
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    good, bad = read_jsonl_corpus(spark, str(p), schema)
+    assert sorted(r.doc_id for r in good.collect()) == [0, 1, 2, 3, 4]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["not json at all", '{"doc_id": 99, "text": "unterminated']
