@@ -1890,6 +1890,45 @@ def _weighted_median(spark, sf_dir):
     return weighted_median_by(e, "event_type", "value", "wt")
 
 
+def _ann_projected(spark, sf_dir):
+    """ANN in JL-projected space: project corpus and query 64→16, then
+    brute-force cosine top-10 over the 16-d vectors — the JL end-use
+    (4× cheaper per comparison).  Projection and left-fold dot product
+    are both bit-exact cross-engine, scores round to 6 dp BEFORE
+    ranking with id tie-breaks, and the oracle replays projection,
+    cosine, and ranking in full."""
+    from google_vision_ocr_spark.operators.similarity import (
+        DOT_EXPR,
+        random_projection,
+    )
+
+    p = random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    q = p.filter(F.col("vec_id") == 0).select(F.col("proj").alias("qv"))
+    dot = DOT_EXPR.format(a="proj", b="qv")
+    na = DOT_EXPR.format(a="proj", b="proj")
+    nb = DOT_EXPR.format(a="qv", b="qv")
+    scored = (
+        p.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6)
+            .alias("cos_sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            ).alias("rank"),
+            "cos_sim",
+        )
+    )
+
+
 def _tier_extraction(spark, sf_dir):
     """THE composite this engine exists for — web-corpus tier
     extraction in one declarative plan: near-dup keep-one (3-shingle
@@ -2050,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weighted_median": _weighted_median,
         "events_cube_weekly": _events_cube,
         "events_session_window": _session_window_builtin,
+        "ann_projected_cosine": _ann_projected,
     }
 
 
@@ -3146,6 +3186,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": _zorder_oracle_sql(),
         "tier_extraction": _tier_oracle_sql(),
+        "ann_projected_cosine": """
+            WITH p AS (
+                SELECT vec_id,
+                       list_transform(generate_series(0, 15), j ->
+                           list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                   list_transform(generate_series(0, 63), i ->
+                                       CAST(embedding[i + 1] AS DOUBLE)
+                                       * (CASE WHEN ((j * 1315423911
+                                                      + i * 2654435761)
+                                                     % 1000003) % 2 = 0
+                                               THEN CAST(1.0 AS DOUBLE)
+                                               ELSE CAST(-1.0 AS DOUBLE)
+                                          END))),
+                               (a, b) -> a + b)
+                           / sqrt(CAST(16 AS DOUBLE))) AS proj
+                FROM embeddings
+            ), q AS (
+                SELECT proj AS qv FROM p WHERE vec_id = 0
+            ), scored AS (
+                SELECT p.vec_id,
+                       round(
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(generate_series(1, 16),
+                                   i -> p.proj[i] * q.qv[i])),
+                               (a, b) -> a + b)
+                           / (sqrt(list_reduce(
+                                  list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(generate_series(1, 16),
+                                      i -> p.proj[i] * p.proj[i])),
+                                  (a, b) -> a + b))
+                              * sqrt(list_reduce(
+                                  list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(generate_series(1, 16),
+                                      i -> q.qv[i] * q.qv[i])),
+                                  (a, b) -> a + b))), 6) AS cos_sim
+                FROM p CROSS JOIN q
+                WHERE p.vec_id <> 0
+            )
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                        AS INT) AS rank,
+                   cos_sim
+            FROM scored
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
         "events_session_window": """
             WITH ordered AS (
                 SELECT user_id, ts,
