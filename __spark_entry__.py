@@ -722,7 +722,14 @@ def _minhash_containment(spark, sf_dir):
 
 def _simhash_containment(spark, sf_dir):
     """Same recall-containment pattern for the SimHash blocking family
-    (band-blocked hamming candidates must cover every exact near-dup)."""
+    (band-blocked hamming candidates must cover every exact near-dup).
+
+    Radius note: "Jaccard >= 0.8 implies hamming <= h" is statistical,
+    not guaranteed — the radius must dominate the data's worst case.
+    Measured max hamming over exact pairs: 8 at sf0.001/0.01, 12 at
+    sf0.1 (two pairs beyond the old radius 10); 13 holds with margin at
+    every shipped SF, and the pigeonhole banding stays lossless at any
+    radius (n_bands = h+1)."""
     from google_vision_ocr_spark.operators.dedup import (
         ngram_jaccard_pairs,
         simhash_candidates,
@@ -730,7 +737,7 @@ def _simhash_containment(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(d, k=3, threshold=0.8)
-    cands = simhash_candidates(d, max_hamming=10).select("id_a", "id_b")
+    cands = simhash_candidates(d, max_hamming=13).select("id_a", "id_b")
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -772,8 +779,13 @@ def _curate_documents(spark, sf_dir):
 
     pages = documents_to_pages(_t(spark, sf_dir, "documents"))
     curated, _obs = curate(pages, min_quality=0.2, min_tokens=5)
-    return curated.select("url", "ws_tokens", "lang_guess",
-                          F.round("quality", 4).alias("quality"))
+    # quality rides at its native 6-decimal quantization (functions/
+    # text.py:89 mirrors the oracle's round(...,6) — verified equal by
+    # the quality_scores gate entry at every SF).  Re-rounding to 4 here
+    # created a fresh half-tie surface: at sf0.1 one row's 0.634550
+    # split 0.6346 (Spark) vs 0.6345 (DuckDB).  Never re-round a value
+    # both engines already agree on (the tpch_q3 lesson, float edition).
+    return curated.select("url", "ws_tokens", "lang_guess", "quality")
 
 
 def _asof_purchase_view(spark, sf_dir):
@@ -2288,7 +2300,7 @@ def _curate_oracle() -> str:
                 GROUP BY a.url, b.url, a.n, b.n
                 HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.8
             )
-            SELECT url, ws_tokens, lang_guess, round(quality, 4) AS quality
+            SELECT url, ws_tokens, lang_guess, quality
             FROM deduped WHERE url NOT IN (SELECT url FROM losers)
         """
 
