@@ -1902,6 +1902,19 @@ def _weighted_median(spark, sf_dir):
     return weighted_median_by(e, "event_type", "value", "wt")
 
 
+def _quality_classifier(spark, sf_dir):
+    """Hashed-linear quality classifier — the model-based filter gate
+    (DCLM/FineWeb-Edu shape): tokens hash into weight buckets, the
+    document score is the weight sum, evaluated entirely inside the
+    scan's project (zero shuffle, plan-asserted).  Weights are a
+    deterministic stand-in replayed bit-for-bit by the oracle; a real
+    trained model rides the broadcast weight-table path, pinned equal
+    to this one in tests/test_classifier.py."""
+    from google_vision_ocr_spark.operators.classifier import score_hashed_linear
+
+    return score_hashed_linear(_t(spark, sf_dir, "documents"))
+
+
 def _ann_projected(spark, sf_dir):
     """ANN in JL-projected space: project corpus and query 64→16, then
     brute-force cosine top-10 over the 16-d vectors — the JL end-use
@@ -2102,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_weekly": _events_cube,
         "events_session_window": _session_window_builtin,
         "ann_projected_cosine": _ann_projected,
+        "quality_classifier_scores": _quality_classifier,
     }
 
 
@@ -3244,6 +3258,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
+        """,
+        # the stand-in model replayed in full: md5-hex bucket (same
+        # reduce as corpus_split), Knuth-multiplicative weight, integer
+        # sum; the mean is one IEEE division of identical ints and the
+        # keep flag is an integer comparison — nothing can tie-split
+        "quality_classifier_scores": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id, len(words) AS n_tokens,
+                       coalesce(list_sum(list_transform(words,
+                           w -> (list_reduce(list_transform(generate_series(1, 8),
+                                     i -> CAST(strpos('0123456789abcdef',
+                                              substr(md5(w), i, 1)) - 1 AS BIGINT)),
+                                 (a, b) -> a * 16 + b) % 4096)
+                                * 2654435761 % 8191 - 4095)),
+                         0) AS sum_w
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum_w AS BIGINT) AS sum_w,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(sum_w AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS mean_w,
+                   CAST(sum_w > 0 AS BIGINT) AS keep
+            FROM s
         """,
         "events_session_window": """
             WITH ordered AS (

@@ -1,0 +1,103 @@
+"""Hashed-linear quality classifier (operators/classifier.py).
+
+Pins the two scoring paths (scan-side expression vs broadcast
+weight-table join) to identical output, the zero-token edge, the weight
+bounds, and the scale-critical plan shape: the expression path must be a
+pure scan-side project — no Exchange, no Python stage.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from google_vision_ocr_spark.operators.classifier import (
+    WEIGHT_MOD,
+    default_weights,
+    score_hashed_linear,
+    stand_in_weight,
+    token_bucket,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "spark shuffles and scans and sorts"),
+            (2, ""),  # zero tokens
+            (3, "   "),  # whitespace-only: also zero tokens
+            (4, "one"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_paths_identical(spark, docs):
+    a = score_hashed_linear(docs).orderBy("doc_id").toPandas()
+    b = (
+        score_hashed_linear(docs, weights=default_weights(spark, 4096))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_zero_token_docs_survive(docs):
+    out = score_hashed_linear(docs).orderBy("doc_id").toPandas()
+    assert len(out) == 5
+    empty = out[out.doc_id.isin([2, 3])]
+    assert (empty.n_tokens == 0).all()
+    assert (empty.sum_w == 0).all()
+    assert (empty.mean_w == 0.0).all()
+    assert (empty.keep == 0).all()
+
+
+def test_weight_bounds(spark):
+    half = (WEIGHT_MOD - 1) // 2
+    w = default_weights(spark, 4096).agg(
+        F.min("weight").alias("lo"), F.max("weight").alias("hi")
+    ).first()
+    assert -half <= w.lo and w.hi <= half
+    # the stand-in is not degenerate: both signs occur
+    assert w.lo < 0 < w.hi
+
+
+def test_same_token_same_bucket(spark):
+    d = spark.createDataFrame([("alpha",), ("alpha",), ("beta",)], "w string")
+    out = d.select(token_bucket(F.col("w"), 4096).alias("b")).toPandas()
+    assert out.b[0] == out.b[1]
+    assert 0 <= out.b.min() and out.b.max() < 4096
+
+
+def test_expression_path_is_scan_side(spark, docs):
+    plan = _plan(score_hashed_linear(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_join_path_broadcasts_weights(spark, docs):
+    plan = _plan(score_hashed_linear(docs, weights=default_weights(spark, 4096)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_keep_threshold_is_integer_exact(spark):
+    # a doc whose sum_w equals threshold * n exactly must NOT be kept
+    d = spark.createDataFrame([(0, "x y z")], "doc_id bigint, text string")
+    out = score_hashed_linear(d, keep_threshold=10**9).first()
+    assert out.keep == 0
+
+
+def test_stand_in_weight_matches_formula(spark):
+    row = (
+        spark.range(1)
+        .select(stand_in_weight(F.lit(7).cast("bigint")).alias("w"))
+        .first()
+    )
+    assert row.w == (7 * 2654435761) % WEIGHT_MOD - (WEIGHT_MOD - 1) // 2
