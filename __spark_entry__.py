@@ -1902,6 +1902,27 @@ def _weighted_median(spark, sf_dir):
     return weighted_median_by(e, "event_type", "value", "wt")
 
 
+def _inverted_postings(spark, sf_dir):
+    """Inverted-index build over the documents table with planted
+    keyword terms (kw{doc_id%37} / kw{doc_id%23}) so the df spectrum is
+    realistic: ~38 indexable terms between the thresholds and ~30
+    stopword-grade terms the max_df cap excludes — demonstrating the
+    bounded-postings shape (no stopword list ever materializes in one
+    task).  Postings serialize as a comma-joined ascending id string,
+    byte-stable across engines."""
+    from google_vision_ocr_spark.operators.indexing import inverted_postings
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" kw"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" kw"), (F.col("doc_id") % 23).cast("string"),
+        ).alias("text"),
+    )
+    return inverted_postings(d, min_df=2, max_df=300)
+
+
 def _quality_classifier(spark, sf_dir):
     """Hashed-linear quality classifier — the model-based filter gate
     (DCLM/FineWeb-Edu shape): tokens hash into weight buckets, the
@@ -2116,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": _session_window_builtin,
         "ann_projected_cosine": _ann_projected,
         "quality_classifier_scores": _quality_classifier,
+        "inverted_postings": _inverted_postings,
     }
 
 
@@ -3288,6 +3310,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS mean_w,
                    CAST(sum_w > 0 AS BIGINT) AS keep
             FROM s
+        """,
+        "inverted_postings": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' kw' || (doc_id % 37)
+                            || ' kw' || (doc_id % 23) AS text
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> ''))) AS term
+                FROM d
+            ), g AS (
+                SELECT term, count(*) AS df,
+                       array_to_string(list_transform(list_sort(list(doc_id)),
+                           x -> CAST(x AS VARCHAR)), ',') AS postings
+                FROM pairs GROUP BY term
+            )
+            SELECT term, CAST(df AS BIGINT) AS df, postings
+            FROM g WHERE df BETWEEN 2 AND 300
         """,
         "events_session_window": """
             WITH ordered AS (
