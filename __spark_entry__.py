@@ -1902,6 +1902,18 @@ def _weighted_median(spark, sf_dir):
     return weighted_median_by(e, "event_type", "value", "wt")
 
 
+def _bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training, first 4 merges: one
+    corpus-scale word-frequency pass, then dictionary-scale pair-count
+    rounds (each a map-side-combinable agg + 1-row collect, the k-means
+    driver-loop shape).  Merge symbols are private-use chars so greedy
+    merge application IS string replace — identical in both engines —
+    and the oracle unrolls all four rounds in one SQL statement."""
+    from google_vision_ocr_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
 def _inverted_postings(spark, sf_dir):
     """Inverted-index build over the documents table with planted
     keyword terms (kw{doc_id%37} / kw{doc_id%23}) so the df spectrum is
@@ -2138,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_projected_cosine": _ann_projected,
         "quality_classifier_scores": _quality_classifier,
         "inverted_postings": _inverted_postings,
+        "bpe_train_merges": _bpe_merges,
     }
 
 
@@ -3331,6 +3344,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, CAST(df AS BIGINT) AS df, postings
             FROM g WHERE df BETWEEN 2 AND 300
+        """,
+        # four BPE rounds unrolled (the k-means replay precedent): pair
+        # counts are sequence bigrams, arg-max ties break on the pair,
+        # merge application is replace() with a private-use symbol —
+        # left-to-right non-overlapping in both engines
+        "bpe_train_merges": r"""
+            WITH wf0 AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS word
+                    FROM documents) GROUP BY word
+            ),
+            p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf0)
+                   GROUP BY pair),
+            b1 AS (SELECT pair, weight FROM p1
+                   ORDER BY weight DESC, pair LIMIT 1),
+            wf1 AS (SELECT replace(word, (SELECT pair FROM b1),
+                                   chr(57344)) AS word, freq FROM wf0),
+            p2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf1)
+                   GROUP BY pair),
+            b2 AS (SELECT pair, weight FROM p2
+                   ORDER BY weight DESC, pair LIMIT 1),
+            wf2 AS (SELECT replace(word, (SELECT pair FROM b2),
+                                   chr(57345)) AS word, freq FROM wf1),
+            p3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf2)
+                   GROUP BY pair),
+            b3 AS (SELECT pair, weight FROM p3
+                   ORDER BY weight DESC, pair LIMIT 1),
+            wf3 AS (SELECT replace(word, (SELECT pair FROM b3),
+                                   chr(57346)) AS word, freq FROM wf2),
+            p4 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf3)
+                   GROUP BY pair),
+            b4 AS (SELECT pair, weight FROM p4
+                   ORDER BY weight DESC, pair LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS round, pair, chr(57344) AS merged,
+                   weight FROM b1
+            UNION ALL SELECT 2, pair, chr(57345), weight FROM b2
+            UNION ALL SELECT 3, pair, chr(57346), weight FROM b3
+            UNION ALL SELECT 4, pair, chr(57347), weight FROM b4
         """,
         "events_session_window": """
             WITH ordered AS (
