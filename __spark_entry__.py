@@ -1935,6 +1935,33 @@ def _inverted_postings(spark, sf_dir):
     return inverted_postings(d, min_df=2, max_df=300)
 
 
+def _postings_segment_merge(spark, sf_dir):
+    """Incremental index maintenance, pinned by algebra: build postings
+    over two disjoint document segments, merge them (full-outer on
+    term, bounded list concat), then apply the df band — and the oracle
+    is simply the FULL build's SQL, so the gate proves
+    merge(build(A), build(B)) == build(A ∪ B) hash-exactly."""
+    from google_vision_ocr_spark.operators.indexing import (
+        inverted_postings,
+        merge_postings,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" kw"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" kw"), (F.col("doc_id") % 23).cast("string"),
+        ).alias("text"),
+    )
+    seg_a = inverted_postings(d.filter(F.col("doc_id") < 250),
+                              min_df=1, max_df=2**62)
+    seg_b = inverted_postings(d.filter(F.col("doc_id") >= 250),
+                              min_df=1, max_df=2**62)
+    merged = merge_postings(seg_a, seg_b)
+    return merged.filter((F.col("df") >= 2) & (F.col("df") <= 300))
+
+
 def _quality_classifier(spark, sf_dir):
     """Hashed-linear quality classifier — the model-based filter gate
     (DCLM/FineWeb-Edu shape): tokens hash into weight buckets, the
@@ -2151,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": _quality_classifier,
         "inverted_postings": _inverted_postings,
         "bpe_train_merges": _bpe_merges,
+        "postings_segment_merge": _postings_segment_merge,
     }
 
 
@@ -3325,6 +3353,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "inverted_postings": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' kw' || (doc_id % 37)
+                            || ' kw' || (doc_id % 23) AS text
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> ''))) AS term
+                FROM d
+            ), g AS (
+                SELECT term, count(*) AS df,
+                       array_to_string(list_transform(list_sort(list(doc_id)),
+                           x -> CAST(x AS VARCHAR)), ',') AS postings
+                FROM pairs GROUP BY term
+            )
+            SELECT term, CAST(df AS BIGINT) AS df, postings
+            FROM g WHERE df BETWEEN 2 AND 300
+        """,
+        # deliberately the SAME SQL as inverted_postings: the engine side
+        # builds two disjoint segments and merges them, so a hash match
+        # here proves merge(build(A), build(B)) == build(A ∪ B)
+        "postings_segment_merge": r"""
             WITH d AS (
                 SELECT doc_id,
                        text || ' kw' || (doc_id % 37)

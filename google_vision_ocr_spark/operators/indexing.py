@@ -65,3 +65,45 @@ def inverted_postings(
             ).alias("postings"),
         )
     )
+
+
+def merge_postings(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two segment indexes (Lucene-style incremental maintenance).
+
+    Each input is an unfiltered ``inverted_postings`` output over a
+    disjoint document range ("segment"): per-segment lists are bounded
+    by segment size, and the merge is a full-outer join keyed by term
+    whose per-key work is the sum of two bounded lists — so background
+    index merging never needs to re-touch the corpus.  Any df-band
+    (min_df/max_df) must be applied AFTER merging: frequency cutoffs do
+    not commute with segment union.
+
+    The invariant the contract query pins under the hash gate:
+    ``merge(build(A), build(B)) == build(A ∪ B)`` for disjoint A, B.
+    """
+    pa = a.select(
+        "term",
+        F.col("df").alias("__dfa"),
+        F.split(F.col("postings"), ",").alias("__pa"),
+    )
+    pb = b.select(
+        "term",
+        F.col("df").alias("__dfb"),
+        F.split(F.col("postings"), ",").alias("__pb"),
+    )
+    empty = F.array().cast("array<string>")
+    merged_ids = F.sort_array(
+        F.transform(
+            F.concat(F.coalesce("__pa", empty), F.coalesce("__pb", empty)),
+            lambda x: x.cast("bigint"),
+        )
+    )
+    return pa.join(pb, "term", "full_outer").select(
+        "term",
+        (F.coalesce("__dfa", F.lit(0)) + F.coalesce("__dfb", F.lit(0)))
+        .cast("bigint")
+        .alias("df"),
+        F.array_join(
+            F.transform(merged_ids, lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )

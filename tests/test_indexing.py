@@ -54,3 +54,28 @@ def test_stopword_filter_precedes_collect(docs):
     assert "collect_list" in plan
     # two aggregations: the count pre-pass and the bounded collect
     assert plan.count("Aggregate") >= 2
+
+
+def test_merge_equals_full_build(spark, docs):
+    from google_vision_ocr_spark.operators.indexing import merge_postings
+
+    full = {
+        (r.term, r.df, r.postings)
+        for r in inverted_postings(docs, min_df=1, max_df=10).collect()
+    }
+    a = inverted_postings(docs.filter(F.col("doc_id") < 6), min_df=1, max_df=10)
+    b = inverted_postings(docs.filter(F.col("doc_id") >= 6), min_df=1, max_df=10)
+    merged = {
+        (r.term, r.df, r.postings) for r in merge_postings(a, b).collect()
+    }
+    assert merged == full
+
+
+def test_merge_keeps_terms_unique_to_one_segment(spark, docs):
+    from google_vision_ocr_spark.operators.indexing import merge_postings
+
+    a = inverted_postings(docs.filter(F.col("doc_id") == 3), min_df=1, max_df=10)
+    b = inverted_postings(docs.filter(F.col("doc_id") != 3), min_df=1, max_df=10)
+    out = {r.term: (r.df, r.postings) for r in merge_postings(a, b).collect()}
+    assert out["kiwi"] == (1, "3")          # only in segment a
+    assert out["the"] == (4, "3,5,7,10")    # spans both, ids re-sorted
