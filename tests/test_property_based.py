@@ -402,3 +402,83 @@ def test_moments_match_python_exact(spark, vals):
         assert abs(got[g].mean_value - round(mean, 6)) < 1e-9
         assert abs(got[g].var_value - round(var, 6)) < 1e-9
         assert abs(got[g].std_value - round(math.sqrt(var), 6)) < 1e-9
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Sequential BPE reference: sequence-bigram counts, lexicographic
+    tie-break, greedy left-to-right merge via str.replace."""
+    merges = []
+    wf = list(word_freqs.items())
+    for k in range(n_merges):
+        counts = {}
+        for w, f in wf:
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair, weight = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        sym = chr(0xE000 + k)
+        merges.append((k + 1, pair, sym, weight))
+        wf = [(w.replace(pair, sym), f) for w, f in wf]
+    return merges
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=4,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_bpe_matches_sequential_reference(spark, doc_words, n_merges):
+    from google_vision_ocr_spark.operators.bpe import (
+        bpe_train, word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id bigint, text string",
+    )
+    expected_wf = {}
+    for ws in doc_words:
+        for w in ws:
+            expected_wf[w] = expected_wf.get(w, 0) + 1
+    merges, _ = bpe_train(word_frequencies(docs), n_merges)
+    got = [(m["round"], m["pair"], m["merged"], m["weight"]) for m in merges]
+    assert got == _py_bpe(expected_wf, n_merges)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["apple", "pear", "kiwi", "fig", "plum"]),
+                 min_size=1, max_size=6),
+        min_size=2, max_size=8,
+    ),
+    st.integers(min_value=0, max_value=7),
+)
+def test_postings_merge_equals_full_build(spark, doc_words, split_at):
+    from google_vision_ocr_spark.operators.indexing import (
+        inverted_postings, merge_postings,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id bigint, text string",
+    )
+    full = {
+        (r.term, r.df, r.postings)
+        for r in inverted_postings(docs, min_df=1, max_df=100).collect()
+    }
+    a = inverted_postings(docs.filter(F.col("doc_id") < split_at),
+                          min_df=1, max_df=100)
+    b = inverted_postings(docs.filter(F.col("doc_id") >= split_at),
+                          min_df=1, max_df=100)
+    merged = {
+        (r.term, r.df, r.postings) for r in merge_postings(a, b).collect()
+    }
+    assert merged == full
