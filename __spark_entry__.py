@@ -1975,6 +1975,17 @@ def _quality_classifier(spark, sf_dir):
     return score_hashed_linear(_t(spark, sf_dir, "documents"))
 
 
+def _quality_classifier_bigrams(spark, sf_dir):
+    """The classifier with fastText word-bigram features: adjacent word
+    pairs hash into the same bucket space as unigrams; n_tokens counts
+    features.  Still a zero-shuffle scan-side expression."""
+    from google_vision_ocr_spark.operators.classifier import score_hashed_linear
+
+    return score_hashed_linear(
+        _t(spark, sf_dir, "documents"), word_bigrams=True
+    )
+
+
 def _ann_projected(spark, sf_dir):
     """ANN in JL-projected space: project corpus and query 64→16, then
     brute-force cosine top-10 over the 16-d vectors — the JL end-use
@@ -2179,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": _inverted_postings,
         "bpe_train_merges": _bpe_merges,
         "postings_segment_merge": _postings_segment_merge,
+        "quality_classifier_bigrams": _quality_classifier_bigrams,
     }
 
 
@@ -3342,6 +3354,42 @@ def oracle_sql() -> dict[str, str]:
                                 * 2654435761 % 8191 - 4095)),
                          0) AS sum_w
                 FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum_w AS BIGINT) AS sum_w,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(sum_w AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS mean_w,
+                   CAST(sum_w > 0 AS BIGINT) AS keep
+            FROM s
+        """,
+        # unigram + word-bigram features in one bucket space; the
+        # trailing zip pad is NULL and || propagates it, so the partial
+        # pair filters away in both engines
+        "quality_classifier_bigrams": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       words || list_filter(list_transform(
+                           list_zip(words, words[2:]),
+                           s -> s[1] || ' ' || s[2]),
+                           x -> x IS NOT NULL) AS feats
+                FROM t
+            ), s AS (
+                SELECT doc_id, len(feats) AS n_tokens,
+                       coalesce(list_sum(list_transform(feats,
+                           w -> (list_reduce(list_transform(generate_series(1, 8),
+                                     i -> CAST(strpos('0123456789abcdef',
+                                              substr(md5(w), i, 1)) - 1 AS BIGINT)),
+                                 (a, b) -> a * 16 + b) % 4096)
+                                * 2654435761 % 8191 - 4095)),
+                         0) AS sum_w
+                FROM f
             )
             SELECT doc_id,
                    CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -74,6 +74,18 @@ def default_weights(spark: SparkSession, n_buckets: int) -> DataFrame:
     )
 
 
+def _word_bigrams(words: Column) -> Column:
+    """Adjacent word pairs joined by a single space (fastText word
+    n-grams).  The zip pads the shorter side with null and ``concat``
+    propagates it, so the trailing partial pair filters away — one-word
+    documents yield an empty list."""
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(words, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+
+
 def score_hashed_linear(
     docs: DataFrame,
     n_buckets: int = 4096,
@@ -81,15 +93,23 @@ def score_hashed_linear(
     id_col: str = "doc_id",
     weights: DataFrame | None = None,
     keep_threshold: int = 0,
+    word_bigrams: bool = False,
 ) -> DataFrame:
     """Score every document with the hashed-linear model; attach a keep
     flag (``sum_w > keep_threshold * n_tokens`` — an integer comparison,
     so the decision boundary cannot split on a float ULP).
 
+    ``word_bigrams=True`` appends adjacent word pairs to the feature
+    list (the fastText word-n-gram trick), hashed into the same bucket
+    space; ``n_tokens`` then counts features, not words — still the
+    quantity the mean and the keep threshold normalize by.
+
     Output: ``(id, n_tokens, sum_w, mean_w, keep)`` with ``keep`` as
     int64 0/1 (booleans hash differently across engines; ints do not).
     """
     words = F.expr(WORDS_EXPR.format(col=text_col))
+    if word_bigrams:
+        words = F.concat(words, _word_bigrams(words))
     n_tok = F.size(words).cast("bigint")
 
     if weights is None:

@@ -101,3 +101,33 @@ def test_stand_in_weight_matches_formula(spark):
         .first()
     )
     assert row.w == (7 * 2654435761) % WEIGHT_MOD - (WEIGHT_MOD - 1) // 2
+
+
+def test_bigram_features(spark):
+    from google_vision_ocr_spark.operators.classifier import _word_bigrams
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "solo"), (2, "")], "doc_id bigint, text string"
+    )
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+
+    words = F.expr(WORDS_EXPR.format(col="text"))
+    out = {
+        r.doc_id: r.bg
+        for r in d.select("doc_id", _word_bigrams(words).alias("bg")).collect()
+    }
+    assert out[0] == ["a b", "b c"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_bigram_path_is_scan_side(spark, docs):
+    plan = _plan(score_hashed_linear(docs, word_bigrams=True))
+    assert "Exchange" not in plan
+
+
+def test_bigram_n_tokens_counts_features(spark):
+    d = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    uni = score_hashed_linear(d).first()
+    bi = score_hashed_linear(d, word_bigrams=True).first()
+    assert uni.n_tokens == 3 and bi.n_tokens == 5
