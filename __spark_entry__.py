@@ -1975,6 +1975,25 @@ def _quality_classifier(spark, sf_dir):
     return score_hashed_linear(_t(spark, sf_dir, "documents"))
 
 
+def _bpe_encoded_tokens(spark, sf_dir):
+    """Train 4 BPE merges on the corpus, then encode every document —
+    the end-to-end tokenizer lifecycle under one hash gate.  Encoding
+    is a scan-side fold (the learned merges are literal replaces inside
+    one projection, zero shuffle); the oracle extends the unrolled
+    training replay with the same replace chain applied per word."""
+    from google_vision_ocr_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_frequencies(d), n_merges=4)
+    return bpe_encode(d, merges).select(
+        "doc_id", F.col("bpe_tokens").cast("bigint").alias("bpe_tokens")
+    )
+
+
 def _quality_classifier_bigrams(spark, sf_dir):
     """The classifier with fastText word-bigram features: adjacent word
     pairs hash into the same bucket space as unigrams; n_tokens counts
@@ -2191,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _bpe_merges,
         "postings_segment_merge": _postings_segment_merge,
         "quality_classifier_bigrams": _quality_classifier_bigrams,
+        "bpe_encoded_tokens": _bpe_encoded_tokens,
     }
 
 
@@ -3496,6 +3516,65 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, pair, chr(57345), weight FROM b2
             UNION ALL SELECT 3, pair, chr(57346), weight FROM b3
             UNION ALL SELECT 4, pair, chr(57347), weight FROM b4
+        """,
+        # the training replay above, extended: the four learned pairs
+        # (scalar CTEs) ride a cross join into a correlated lambda that
+        # applies the replace chain per word — a doc's BPE token count
+        # is the summed post-merge character count
+        "bpe_encoded_tokens": r"""
+            WITH wf0 AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS word
+                    FROM documents) GROUP BY word
+            ),
+            p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf0)
+                   GROUP BY pair),
+            b1 AS (SELECT pair FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+            wf1 AS (SELECT replace(word, (SELECT pair FROM b1),
+                                   chr(57344)) AS word, freq FROM wf0),
+            p2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf1)
+                   GROUP BY pair),
+            b2 AS (SELECT pair FROM p2 ORDER BY weight DESC, pair LIMIT 1),
+            wf2 AS (SELECT replace(word, (SELECT pair FROM b2),
+                                   chr(57345)) AS word, freq FROM wf1),
+            p3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf2)
+                   GROUP BY pair),
+            b3 AS (SELECT pair FROM p3 ORDER BY weight DESC, pair LIMIT 1),
+            wf3 AS (SELECT replace(word, (SELECT pair FROM b3),
+                                   chr(57346)) AS word, freq FROM wf2),
+            p4 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, length(word) - 1),
+                        i -> substr(word, i, 2))) AS pair, freq FROM wf3)
+                   GROUP BY pair),
+            b4 AS (SELECT pair FROM p4 ORDER BY weight DESC, pair LIMIT 1),
+            t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(words,
+                       w -> length(
+                           replace(replace(replace(replace(w,
+                               b1.pair, chr(57344)),
+                               b2.pair, chr(57345)),
+                               b3.pair, chr(57346)),
+                               b4.pair, chr(57347))))), 0) AS BIGINT)
+                       AS bpe_tokens
+            FROM t, b1, b2, b3, b4
         """,
         "events_session_window": """
             WITH ordered AS (
