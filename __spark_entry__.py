@@ -1975,6 +1975,30 @@ def _quality_classifier(spark, sf_dir):
     return score_hashed_linear(_t(spark, sf_dir, "documents"))
 
 
+def _shingle_novelty(spark, sf_dir):
+    """Inter-document novelty with planted boilerplate: ~40% of docs
+    get one of two 10-word banners appended, so their 8-shingle sets
+    overlap corpus-wide and novelty drops below 1.0 — falsifiable in
+    both directions (clean docs must stay fully novel).  The novelty
+    ratio is one IEEE division of identical ints; no rounding."""
+    from google_vision_ocr_spark.operators.dedup import shingle_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    b0 = "please accept cookies to continue reading this free article today"
+    b1 = "subscribe to our newsletter for daily updates delivered every morning"
+    banner = F.when(F.col("doc_id") % 2 == 0, F.lit(b0)).otherwise(F.lit(b1))
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.concat(F.col("text"), F.lit(" "), banner),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return shingle_novelty(planted, k=8)
+
+
 def _bpe_encoded_tokens(spark, sf_dir):
     """Train 4 BPE merges on the corpus, then encode every document —
     the end-to-end tokenizer lifecycle under one hash gate.  Encoding
@@ -2211,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_segment_merge": _postings_segment_merge,
         "quality_classifier_bigrams": _quality_classifier_bigrams,
         "bpe_encoded_tokens": _bpe_encoded_tokens,
+        "shingle_novelty": _shingle_novelty,
     }
 
 
@@ -3516,6 +3541,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, pair, chr(57345), weight FROM b2
             UNION ALL SELECT 3, pair, chr(57346), weight FROM b3
             UNION ALL SELECT 4, pair, chr(57347), weight FROM b4
+        """,
+        # same planted banners; shingle ownership replayed via the same
+        # count/min aggregation — novelty is n_unique/n_shingles exactly
+        "shingle_novelty": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 < 2 THEN text || ' ' ||
+                            CASE WHEN doc_id % 2 = 0
+                                 THEN 'please accept cookies to continue reading this free article today'
+                                 ELSE 'subscribe to our newsletter for daily updates delivered every morning'
+                            END
+                            ELSE text END AS text
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS words
+                FROM d
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 8 THEN []
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(words) - 7),
+                                i -> array_to_string(words[i:i+7], ' ')))
+                       END AS shs
+                FROM t
+            ), pairs AS (
+                SELECT doc_id, unnest(shs) AS s FROM sh
+            ), g AS (
+                SELECT s, count(*) AS n, min(doc_id) AS doc_id
+                FROM pairs GROUP BY s
+            ), u AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+                FROM g WHERE n = 1 GROUP BY doc_id
+            )
+            SELECT sh.doc_id,
+                   CAST(len(shs) AS BIGINT) AS n_shingles,
+                   coalesce(u.n_unique, 0) AS n_unique,
+                   CASE WHEN len(shs) > 0
+                        THEN CAST(coalesce(u.n_unique, 0) AS DOUBLE)
+                             / len(shs)
+                        ELSE 1.0 END AS novelty
+            FROM sh LEFT JOIN u ON sh.doc_id = u.doc_id
         """,
         # the training replay above, extended: the four learned pairs
         # (scalar CTEs) ride a cross join into a correlated lambda that

@@ -434,3 +434,62 @@ def duplicate_token_windows(
         .filter(F.col("n_docs") > 1)
     )
     return occ.join(dup, "win_key").select(id_col, "pos", "win_key", "n_docs")
+
+
+def shingle_novelty(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inter-document novelty: the fraction of a document's word
+    ``k``-shingles that occur in NO other document (RefinedWeb's
+    inter-document repetition signal, inverted — low novelty means the
+    document is largely assembled from corpus-repeated n-grams).
+
+    Skew-safe by construction — there is no join keyed by the shingle:
+    per-document distinct shingles are computed scan-side, the global
+    per-shingle document count is a map-side-combinable aggregation (a
+    universal boilerplate shingle reduces, never sorts), and uniquely-
+    owned shingles (count == 1) carry their single owner in the same
+    aggregate (``min == max``), so attribution back to documents is a
+    second bounded aggregation — no fan-out join on a hot shingle key.
+
+    Documents with fewer than ``k`` words have no shingles and score
+    novelty 1.0 (trivially novel).
+    """
+    from .scoring import WORDS_EXPR
+
+    words = WORDS_EXPR.format(col=text_col)
+    shingles = (
+        f"CASE WHEN size({words}) < {k} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size({words}) - {k} + 1), "
+        f"i -> concat_ws(' ', slice({words}, i, {k})))) END"
+    )
+    with_sh = df.select(F.col(id_col), F.expr(shingles).alias("__shs"))
+    pairs = with_sh.select(id_col, F.explode("__shs").alias("__sh"))
+    owned_unique = (
+        pairs.groupBy("__sh")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(id_col).alias(id_col),
+        )
+        .filter(F.col("__n") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
+    totals = with_sh.select(
+        F.col(id_col), F.size("__shs").cast("bigint").alias("n_shingles")
+    )
+    return totals.join(owned_unique, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_unique", F.lit(0).cast("bigint")).alias("n_unique"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.coalesce("n_unique", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("novelty"),
+    )

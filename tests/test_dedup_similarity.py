@@ -216,3 +216,33 @@ def test_drop_repeated_paragraphs_partitioning_invariant(spark):
     assert a == b
     assert a[0].endswith("shared footer") and all(
         a[i] == f"body {i}" for i in range(1, 50))
+
+
+def test_shingle_novelty_hand_case(spark):
+    from google_vision_ocr_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),   # shingles (k=3): abc bcd cde
+            (1, "a b c x y"),   # shingles: abc bcx cxy — shares abc with 0
+            (2, "p q"),         # too short: no shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in shingle_novelty(docs, k=3).collect()}
+    assert (out[0].n_shingles, out[0].n_unique) == (3, 2)
+    assert out[0].novelty == pytest.approx(2 / 3)
+    assert (out[1].n_shingles, out[1].n_unique) == (3, 2)
+    assert (out[2].n_shingles, out[2].n_unique, out[2].novelty) == (0, 0, 1.0)
+
+
+def test_shingle_novelty_repeated_shingle_within_doc_counts_once(spark):
+    from google_vision_ocr_spark.operators.dedup import shingle_novelty
+
+    # 'a b a b a b' has k=2 shingles {a b, b a} each appearing multiple
+    # times within the doc — distinct per doc, so both stay unique
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b")], "doc_id bigint, text string"
+    )
+    r = shingle_novelty(docs, k=2).first()
+    assert (r.n_shingles, r.n_unique, r.novelty) == (2, 2, 1.0)
