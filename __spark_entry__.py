@@ -658,6 +658,24 @@ def _decontamination(spark, sf_dir):
     return contaminated_ids(d, bench, k=8)
 
 
+def _contamination_fraction(spark, sf_dir):
+    """Graded decontamination over the same planted eval set as the
+    flag variant: per-doc fraction of distinct 8-shingles found in the
+    benchmark.  Every 50th doc is contaminated by construction (its own
+    prefix is in the eval set) with fraction < 1 for long docs — so the
+    output separates verbatim copies from partial overlap, which the
+    boolean audit cannot."""
+    from google_vision_ocr_spark.operators.decontaminate import (
+        contamination_fraction,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return contamination_fraction(d, bench, k=8)
+
+
 def _lsh_bucket_histogram(spark, sf_dir):
     from google_vision_ocr_spark.operators.similarity import lsh_bucket_histogram
 
@@ -2236,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_bigrams": _quality_classifier_bigrams,
         "bpe_encoded_tokens": _bpe_encoded_tokens,
         "shingle_novelty": _shingle_novelty,
+        "contamination_fraction": _contamination_fraction,
     }
 
 
@@ -2886,6 +2905,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM (SELECT doc_id, unnest(s) AS shingle FROM sh8) e
             WHERE shingle IN (SELECT shingle FROM bsh)
+        """,
+        # the graded twin of the decontamination oracle: same shingle
+        # construction, fraction instead of flag
+        "contamination_fraction": r"""
+            WITH sh8 AS (
+                SELECT doc_id, w,
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-7),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                 || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+                                 || ' ' || w[i+6] || ' ' || w[i+7])) END AS s
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '') AS w
+                      FROM documents)
+            ), bsh AS (
+                SELECT DISTINCT unnest(
+                  CASE WHEN len(w) = 0 THEN ['']
+                       WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(
+                            generate_series(1, len(w)-7),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                 || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+                                 || ' ' || w[i+6] || ' ' || w[i+7])) END) AS shingle
+                FROM (SELECT list_filter(string_split_regex(
+                                 lower(substr(text, 1, 120)), '\s+'),
+                             t -> t <> '') AS w
+                      FROM documents WHERE doc_id % 50 = 0)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(*) FILTER (shingle IN (SELECT shingle FROM bsh))
+                        AS BIGINT) AS n_contaminated,
+                   CAST(count(*) FILTER (shingle IN (SELECT shingle FROM bsh))
+                        AS DOUBLE) / count(*) AS contaminated_frac
+            FROM (SELECT doc_id, unnest(s) AS shingle FROM sh8) e
+            GROUP BY doc_id
         """,
         # md5 hex digits reduced to an int bucket — md5 is md5 in both
         # engines, so the assignment matches bit-for-bit

@@ -61,3 +61,48 @@ def drop_contaminated(
 ) -> DataFrame:
     bad = contaminated_ids(corpus, benchmark, k, id_col, text_col, bench_text_col)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Graded decontamination: per document, the fraction of its
+    distinct word k-shingles that appear in the benchmark — what
+    pre-training reports actually publish (an any-overlap flag calls a
+    quote-a-benchmark-question doc and a verbatim test-set copy the
+    same thing; the fraction separates them, letting the pipeline drop
+    at a threshold instead of on a single 8-gram).
+
+    Same 100 TB shape as the flag variant: the benchmark shingle set
+    broadcasts, the corpus never shuffles on the shingle — the only
+    shuffle is the per-document count aggregation (map-side
+    combinable, keyed by the unskewed doc id)."""
+    corp = _exploded_shingles(corpus, id_col, text_col, k)
+    bench = (
+        _exploded_shingles(benchmark.select(F.col(bench_text_col).alias("text")
+                                            ).withColumn("__bid", F.lit(0)),
+                           "__bid", "text", k)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double")
+             / F.col("n_shingles").cast("double")).alias("contaminated_frac"),
+        )
+    )
