@@ -658,6 +658,28 @@ def _decontamination(spark, sf_dir):
     return contaminated_ids(d, bench, k=8)
 
 
+def _normalized_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse cleanup with
+    planted dirt: every doc gets a decomposed 'café' (e + U+0301), a
+    decomposed 'für' (u + U+0308), a BEL control, runs of spaces and a
+    trailing tab.  The pandas-UDF normalizer must match DuckDB's
+    nfc_normalize + RE2 chain byte-for-byte — full text under the hash.
+    Python's \\s is pinned to ASCII to match RE2's."""
+    from google_vision_ocr_spark.functions.text import normalize_text_series
+
+    udf = F.pandas_udf("string")(normalize_text_series)
+    d = _t(spark, sf_dir, "documents")
+    dirt = " cafe\u0301 \x07  fu\u0308r\t"
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(dirt)).alias("text")
+    )
+    return planted.select(
+        "doc_id",
+        udf(F.col("text")).alias("norm_text"),
+        F.length(udf(F.col("text"))).cast("bigint").alias("n_chars"),
+    )
+
+
 def _contamination_fraction(spark, sf_dir):
     """Graded decontamination over the same planted eval set as the
     flag variant: per-doc fraction of distinct 8-shingles found in the
@@ -2255,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded_tokens": _bpe_encoded_tokens,
         "shingle_novelty": _shingle_novelty,
         "contamination_fraction": _contamination_fraction,
+        "normalized_text": _normalized_text,
     }
 
 
@@ -2905,6 +2928,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM (SELECT doc_id, unnest(s) AS shingle FROM sh8) e
             WHERE shingle IN (SELECT shingle FROM bsh)
+        """,
+        # the same decomposed dirt rebuilt from codepoints; nfc_normalize
+        # must compose exactly what Python's unicodedata composes
+        "normalized_text": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' cafe' || chr(769) || ' ' || chr(7)
+                            || '  fu' || chr(776) || 'r' || chr(9) AS text
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           nfc_normalize(text),
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                           '\s+', ' ', 'g')) AS norm_text
+                FROM planted
+            )
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars
+            FROM n
         """,
         # the graded twin of the decontamination oracle: same shingle
         # construction, fraction instead of flag

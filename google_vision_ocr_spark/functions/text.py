@@ -135,3 +135,32 @@ def shingles(text: str, k: int = 3) -> set[str]:
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+# --- Unicode normalization (extraction cleanup) ----------------------------
+
+# C0 controls except tab/newline/CR, plus DEL — the bytes real crawls
+# carry out of broken encodings and terminal dumps
+_CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+# ASCII \s on purpose: Python's Unicode \s would also eat NBSP/thin
+# spaces that DuckDB's RE2 \s (ASCII-only) keeps — and those are
+# content, not layout, after NFC
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def normalize_text(text: str) -> str:
+    """Canonical text cleanup every extraction pipeline runs before
+    hashing/dedup: Unicode NFC (combining sequences compose, so
+    'cafe'+U+0301 and precomposed 'café' hash identically), control
+    characters stripped, whitespace collapsed to single spaces, ends
+    trimmed.  Mirrors DuckDB ``nfc_normalize`` + regexp chain exactly
+    (pinned by the contract query)."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFC", text or "")
+    t = _CTRL_RE.sub("", t)
+    return _WS_RE.sub(" ", t).strip()
+
+
+def normalize_text_series(texts: pd.Series) -> pd.Series:
+    return texts.map(normalize_text)

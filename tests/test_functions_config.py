@@ -104,3 +104,17 @@ def test_all_modules_import_without_spark_session():
         "pkgutil.walk_packages(p.__path__, p.__name__ + '.')]"
     )
     subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
+
+
+def test_normalize_text_composes_and_cleans():
+    from google_vision_ocr_spark.functions.text import normalize_text
+
+    # decomposed e + U+0301 composes to precomposed é under NFC
+    assert normalize_text("café") == "café"
+    assert normalize_text(" a \x07 b\t\tc  ") == "a b c"
+    assert normalize_text("") == ""
+    assert normalize_text(None) == ""
+    # ASCII \s only: NBSP survives (RE2 parity — see _WS_RE comment)
+    assert normalize_text("a b") == "a b"
+    # tab/newline/CR are whitespace, not stripped controls
+    assert normalize_text("a\nb\rc") == "a b c"
