@@ -658,6 +658,32 @@ def _decontamination(spark, sf_dir):
     return contaminated_ids(d, bench, k=8)
 
 
+def _domain_blocklist_filter(spark, sf_dir):
+    """Domain blocklist gate: planted per-source URLs (distinct
+    registrable domains, unlike the shared example.org of
+    url_host_stats), three domains blocklisted, survivors returned with
+    their attached domain.  Broadcast anti-join — the corpus never
+    shuffles.  The oracle re-derives the domain from the URL string
+    independently, so a host-parsing or last-two-labels bug mismatches."""
+    from google_vision_ocr_spark.functions.urls import filter_blocklisted_domains
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit("-site.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    block = spark.createDataFrame(
+        [("src3-site.com",), ("src7-site.com",), ("src11-site.com",)],
+        "domain string",
+    )
+    return filter_blocklisted_domains(planted, block).select(
+        "doc_id", "url", "domain"
+    )
+
+
 def _normalized_text(spark, sf_dir):
     """Unicode NFC + control-strip + whitespace-collapse cleanup with
     planted dirt: every doc gets a decomposed 'café' (e + U+0301), a
@@ -2278,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": _shingle_novelty,
         "contamination_fraction": _contamination_fraction,
         "normalized_text": _normalized_text,
+        "domain_blocklist_filter": _domain_blocklist_filter,
     }
 
 
@@ -2928,6 +2955,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM (SELECT doc_id, unnest(s) AS shingle FROM sh8) e
             WHERE shingle IN (SELECT shingle FROM bsh)
+        """,
+        # independent derivation: host from the URL string, registrable
+        # domain from the host — a parsing bug on either side mismatches
+        "domain_blocklist_filter": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'https://www.' || source || '-site.com/p/' || doc_id
+                           AS url
+                FROM documents
+            ), h AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(
+                           regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                           '([^.]+\.[^.]+)$', 1)) AS domain
+                FROM u
+            )
+            SELECT doc_id, url, domain FROM h
+            WHERE domain NOT IN
+                  ('src3-site.com', 'src7-site.com', 'src11-site.com')
         """,
         # the same decomposed dirt rebuilt from codepoints; nfc_normalize
         # must compose exactly what Python's unicodedata composes

@@ -128,3 +128,26 @@ def with_registrable_domain(
         .select("__host", out_col)
     )
     return df.withColumn("__host", host).join(mapping, "__host", "left").drop("__host")
+
+
+def filter_blocklisted_domains(
+    df,
+    blocklist,
+    url_col: str = "url",
+    psl=None,
+):
+    """Drop rows whose registrable domain is blocklisted — the
+    spam/adult/malware domain-list gate every crawl pipeline applies
+    before anything else touches the bytes.
+
+    ``blocklist`` is a DataFrame with one ``domain`` column (registrable
+    domains).  Real lists are ~10^5-10^6 entries — always broadcastable
+    — so the corpus never shuffles: domains attach scan-side (or via the
+    distinct-hosts PSL path of :func:`with_registrable_domain` when
+    ``psl`` is given) and the gate is one broadcast anti-join.  The
+    attached ``domain`` column stays on the output: downstream host
+    rollups reuse it instead of re-deriving.
+    """
+    domained = with_registrable_domain(df, url_col=url_col, psl=psl)
+    clean = blocklist.select(F.lower(F.col("domain")).alias("domain"))
+    return domained.join(F.broadcast(clean), "domain", "left_anti")

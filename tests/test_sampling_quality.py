@@ -266,3 +266,38 @@ def test_sketch_aggregates_within_error_bounds(spark):
     assert abs(approx["d"] - exact["d"]) <= max(2, 0.05 * exact["d"])
     # value spans ~0-100; 10k-accuracy approx median lands within 1%
     assert abs(approx["p50"] - exact["p50"]) <= 0.01 * 100
+
+
+def test_blocklist_filter_with_psl(spark):
+    from google_vision_ocr_spark.functions.urls import filter_blocklisted_domains
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://news.bbc.co.uk/story"),   # domain bbc.co.uk (PSL)
+            (1, "https://spam.bbc.co.uk/x"),       # same domain -> dropped too
+            (2, "https://www.example.com/a"),
+            (3, "https://ads.example.com/b"),      # example.com blocklisted
+        ],
+        "doc_id bigint, url string",
+    )
+    psl = spark.createDataFrame([("com",), ("co.uk",), ("uk",)], "suffix string")
+    block = spark.createDataFrame([("bbc.co.uk",), ("EXAMPLE.com",)], "domain string")
+    out = filter_blocklisted_domains(docs, block, psl=psl)
+    assert {r.doc_id for r in out.collect()} == set()
+    # without bbc.co.uk in the blocklist, both bbc hosts survive as one domain
+    block2 = spark.createDataFrame([("example.com",)], "domain string")
+    out2 = {r.doc_id: r.domain for r in
+            filter_blocklisted_domains(docs, block2, psl=psl).collect()}
+    assert out2 == {0: "bbc.co.uk", 1: "bbc.co.uk"}
+
+
+def test_blocklist_filter_heuristic_path(spark):
+    from google_vision_ocr_spark.functions.urls import filter_blocklisted_domains
+
+    docs = spark.createDataFrame(
+        [(0, "https://a.good.org/x"), (1, "https://b.bad.net/y")],
+        "doc_id bigint, url string",
+    )
+    block = spark.createDataFrame([("bad.net",)], "domain string")
+    out = filter_blocklisted_domains(docs, block)
+    assert [r.doc_id for r in out.collect()] == [0]
