@@ -158,20 +158,78 @@ def _a2_merged_chapters(spark, sf_dir):
     )
 
 
-def _w2_row_number(spark, sf_dir):
+def _w2_row_number(spark, sf_dir, n_buckets=32):
+    """Global per-lang sequential numbering WITHOUT a lang-partitioned
+    window (5 langs over a web corpus = 5 hot tasks at scale — the
+    banned shape).  pack_shards' two-pass prefix-sum instead: bucket
+    by doc_id RANGE (so bucket order ⊆ global order), number within
+    (lang, bucket) — each window task bounded by the range width —
+    then add broadcast per-(lang, bucket) exclusive-prefix offsets.
+    The two extra actions (max, bucket counts) are bounded scalars;
+    n_buckets scales with cluster parallelism at 100×."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    return d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
-
-
-def _o2_topk_per_lang(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    return (
-        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("__rn"))
-        .filter(F.col("__rn") <= 3)
-        .select("lang", "doc_id", "n_chars")
+    mx = d.agg(F.max("doc_id").alias("m")).first()["m"]
+    width = max(1, int(mx) // n_buckets + 1)
+    b = d.select(
+        "doc_id", "lang", (F.col("doc_id") / width).cast("bigint").alias("__b")
     )
+    counts = [
+        (r["lang"], r["__b"], r["n"])
+        for r in b.groupBy("lang", "__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    offsets, acc = [], {}
+    for lang, bk, n in sorted(counts):
+        offsets.append((lang, bk, acc.get(lang, 0)))
+        acc[lang] = acc.get(lang, 0) + n
+    off = spark.createDataFrame(
+        offsets, "lang string, __b bigint, __off bigint"
+    )
+    w = Window.partitionBy("lang", "__b").orderBy("doc_id")
+    return (
+        b.withColumn("__rn", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(off), ["lang", "__b"])
+        .select("doc_id", "lang", (F.col("__off") + F.col("__rn")).alias("rn"))
+    )
+
+
+def _o2_topk_per_lang(spark, sf_dir, n_buckets=32):
+    """Top-3 documents per language, two-phase so no window partitions
+    by bare lang (the hot-key shape _top_words_per_lang also avoids):
+    per-(lang, doc_id%32-bucket) top-3 via a bounded window, then the
+    ≤ 3·32 survivors per lang collapse through a tiny array-sort agg —
+    zero lang-only windowspecdefinition in the plan (plan-asserted)."""
+    d = _t(spark, sf_dir, "documents")
+    w1 = Window.partitionBy("lang", "__b").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    cand = (
+        d.select(
+            "lang", "doc_id", "n_chars",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).alias("__b"),
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= 3)
+    )
+    top = cand.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_chars")).alias("__neg"),
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("n_chars").alias("n_chars"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("__top")
+    )
+    return top.select(
+        "lang", F.explode("__top").alias("__t")
+    ).select("lang", F.col("__t.doc_id").alias("doc_id"), F.col("__t.n_chars").alias("n_chars"))
 
 
 def _set_union_dedup(spark, sf_dir):
@@ -1723,13 +1781,18 @@ def _events_rolling_7d(spark, sf_dir):
 
 
 def _events_moments(spark, sf_dir):
-    """Exact per-group mean/variance/stddev from integer-cents moments:
-    n, Σc, Σc² are exact int64, the variance is (n·Σc² − (Σc)²) /
-    (n(n−1)) evaluated on those exact integers, and sqrt is IEEE
-    correctly-rounded — so the floats are identical across engines
-    (float accumulation of Σx² never is).  int64 bound: safe to ~3e6
-    rows/group at these value magnitudes; beyond that the DECIMAL
-    variant applies (the q1 trade, documented there)."""
+    """Exact per-group mean/variance/stddev from integer-cents moments,
+    TIE-PROOF: every 6-dp output is produced by half-up rounding in
+    INTEGER space, never by round(double, 6).  n, Σc, Σc² are exact
+    int64; mean_micro = halfup(10⁴·Σc, n), var_micro = halfup(100·num,
+    den) with num = n·Σc² − (Σc)², den = n(n−1), both via an exact
+    quotient/remainder split so the int64 bound is num itself (~9e18;
+    the DECIMAL variant applies beyond — the q1 trade).  std_micro =
+    round-half-up(10⁴·√(num/den)) is seeded from IEEE sqrt then
+    corrected by the exact integer predicate (2m±1)²·den ≶ 4·10⁸·num
+    evaluated in DECIMAL(38,0), so a float half-tie (hypothesis found
+    var = 639.2540875 splitting Spark vs an exact replay one ULP
+    apart) cannot flip the last digit on either engine."""
     e = _t(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("bigint")
     agg = e.groupBy("event_type").agg(
@@ -1737,16 +1800,58 @@ def _events_moments(spark, sf_dir):
         F.sum(c).alias("__s1"),
         F.sum(c * c).alias("__s2"),
     )
-    n, s1, s2 = F.col("n_events"), F.col("__s1"), F.col("__s2")
-    var = (n * s2 - s1 * s1).cast("double") / (
-        (n * (n - F.lit(1))).cast("double") * F.lit(10000.0)
-    )
-    return agg.select(
+    x = agg.select(
         "event_type",
         "n_events",
-        F.round(s1.cast("double") / (F.lit(100.0) * n), 6).alias("mean_value"),
-        F.round(var, 6).alias("var_value"),
-        F.round(F.sqrt(var), 6).alias("std_value"),
+        "__s1",
+        F.expr("n_events * __s2 - __s1 * __s1").alias("__num"),
+        F.expr("n_events * (n_events - 1)").alias("__den"),
+    )
+    r = x.select(
+        "event_type",
+        "n_events",
+        "__num",
+        "__den",
+        F.expr(
+            "CASE WHEN __s1 >= 0 THEN"
+            " (20000 * __s1 + n_events) div (2 * n_events)"
+            " ELSE -((-20000 * __s1 + n_events) div (2 * n_events)) END"
+        ).alias("__mean_u"),
+        F.expr(
+            "100 * (__num div __den)"
+            " + (200 * (__num % __den) + __den) div (2 * __den)"
+        ).alias("__var_u"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE))"
+            " * 10000.0 + 0.5) AS BIGINT)"
+        ).alias("__m0"),
+    )
+    four_t = "CAST(__num AS DECIMAL(38,0)) * 400000000"
+    up = (
+        "CAST(2 * __m0 + 1 AS DECIMAL(38,0))"
+        " * CAST(2 * __m0 + 1 AS DECIMAL(38,0))"
+        " * CAST(__den AS DECIMAL(38,0))"
+    )
+    dn = (
+        "CAST(2 * __m0 - 1 AS DECIMAL(38,0))"
+        " * CAST(2 * __m0 - 1 AS DECIMAL(38,0))"
+        " * CAST(__den AS DECIMAL(38,0))"
+    )
+    std_u = (
+        f"CASE WHEN {four_t} >= {up} THEN __m0 + 1"
+        f" WHEN __m0 > 0 AND {four_t} < {dn} THEN __m0 - 1"
+        " ELSE __m0 END"
+    )
+    return r.select(
+        "event_type",
+        "n_events",
+        (F.col("__mean_u").cast("double") / F.lit(1000000.0)).alias(
+            "mean_value"
+        ),
+        (F.col("__var_u").cast("double") / F.lit(1000000.0)).alias(
+            "var_value"
+        ),
+        (F.expr(std_u).cast("double") / F.lit(1000000.0)).alias("std_value"),
     )
 
 
@@ -1849,11 +1954,10 @@ def _events_anomalies(spark, sf_dir):
     """Data-quality anomaly detection: flag events whose value sits
     more than 3σ from its event-type mean.  The test is derived
     entirely from exact integer cent moments — the comparison
-    (c·n − s1)²·(n−1) > 9·n·(n·s2 − s1²) is evaluated on doubles CAST
-    from exact int64s with an identical expression tree on both
-    engines, so the boundary is deterministic (no float-accumulated
-    mean/σ to disagree about).  One pass for moments (broadcast back),
-    one scan-side filter."""
+    (c·n − s1)²·(n−1) > 9·n·(n·s2 − s1²) is evaluated EXACTLY in
+    DECIMAL(38,0) (HUGEINT on the oracle side), so the boundary is
+    bit-deterministic with no float cast at all.  One pass for
+    moments (broadcast back), one scan-side filter."""
     e = _t(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("bigint")
     m = (
@@ -1868,11 +1972,16 @@ def _events_anomalies(spark, sf_dir):
     j = e.select("event_id", "event_type", "value", c.alias("__c")).join(
         F.broadcast(m), "event_type"
     )
-    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
-    dev = (F.col("__c") * n - s1).cast("double")
-    lhs = dev * dev * (n - F.lit(1)).cast("double")
-    rhs = F.lit(9.0) * n.cast("double") * (n * s2 - s1 * s1).cast("double")
-    return j.filter(lhs > rhs).select("event_id", "event_type", "value")
+    dec = "CAST({} AS DECIMAL(38,0))"
+    dev = dec.format("__c * __n - __s1")
+    lhs = f"{dev} * {dev} * {dec.format('__n - 1')}"
+    rhs = (
+        f"9 * {dec.format('__n')}"
+        f" * {dec.format('__n * __s2 - __s1 * __s1')}"
+    )
+    return j.filter(F.expr(f"{lhs} > {rhs}")).select(
+        "event_id", "event_type", "value"
+    )
 
 
 def _jl_projection(spark, sf_dir):
@@ -3897,9 +4006,9 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 100) AS BIGINT) AS c
                   FROM events) e
             JOIN m ON m.event_type = e.event_type
-            WHERE CAST(c * n - s1 AS DOUBLE) * CAST(c * n - s1 AS DOUBLE)
-                  * CAST(n - 1 AS DOUBLE)
-                > 9.0 * CAST(n AS DOUBLE) * CAST(n * s2 - s1 * s1 AS DOUBLE)
+            WHERE CAST(c * n - s1 AS HUGEINT) * CAST(c * n - s1 AS HUGEINT)
+                  * CAST(n - 1 AS HUGEINT)
+                > 9 * CAST(n AS HUGEINT) * CAST(n * s2 - s1 * s1 AS HUGEINT)
         """,
         "fuzzy_vocab_pairs": r"""
             WITH base_words AS (
@@ -4059,17 +4168,42 @@ def oracle_sql() -> dict[str, str]:
                              CAST(round(value * 100) AS BIGINT) AS c
                       FROM events)
                 GROUP BY event_type
+            ), x AS (
+                SELECT event_type, n_events, s1,
+                       n_events * s2 - s1 * s1 AS num,
+                       n_events * (n_events - 1) AS den
+                FROM m
+            ), r AS (
+                SELECT event_type, n_events, num, den,
+                       CASE WHEN s1 >= 0 THEN
+                            (20000 * s1 + n_events) // (2 * n_events)
+                            ELSE -((-20000 * s1 + n_events)
+                                   // (2 * n_events)) END AS mean_u,
+                       100 * (num // den)
+                           + (200 * (num % den) + den) // (2 * den)
+                           AS var_u,
+                       CAST(floor(sqrt(CAST(num AS DOUBLE)
+                                       / CAST(den AS DOUBLE)) * 10000.0
+                                  + 0.5) AS BIGINT) AS m0
+                FROM x
             )
             SELECT event_type, n_events,
-                   round(CAST(s1 AS DOUBLE) / (100.0 * n_events), 6)
-                       AS mean_value,
-                   round(CAST(n_events * s2 - s1 * s1 AS DOUBLE)
-                         / (CAST(n_events * (n_events - 1) AS DOUBLE)
-                            * 10000.0), 6) AS var_value,
-                   round(sqrt(CAST(n_events * s2 - s1 * s1 AS DOUBLE)
-                              / (CAST(n_events * (n_events - 1) AS DOUBLE)
-                                 * 10000.0)), 6) AS std_value
-            FROM m
+                   CAST(mean_u AS DOUBLE) / 1000000.0 AS mean_value,
+                   CAST(var_u AS DOUBLE) / 1000000.0 AS var_value,
+                   CAST(CASE WHEN CAST(num AS HUGEINT) * 400000000
+                                  >= CAST(2 * m0 + 1 AS HUGEINT)
+                                     * CAST(2 * m0 + 1 AS HUGEINT)
+                                     * CAST(den AS HUGEINT)
+                             THEN m0 + 1
+                             WHEN m0 > 0
+                                  AND CAST(num AS HUGEINT) * 400000000
+                                      < CAST(2 * m0 - 1 AS HUGEINT)
+                                        * CAST(2 * m0 - 1 AS HUGEINT)
+                                        * CAST(den AS HUGEINT)
+                             THEN m0 - 1
+                             ELSE m0 END AS DOUBLE) / 1000000.0
+                       AS std_value
+            FROM r
         """,
         "tfidf_top_terms": r"""
             WITH words AS (

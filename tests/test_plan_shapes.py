@@ -276,3 +276,21 @@ def test_jl_projection_is_scan_side(spark):
     )
     plan = _plan(random_projection(df, out_dim=8))
     assert "Exchange" not in plan
+
+
+def test_o2_w2_no_window_on_bare_lang(spark):
+    """o2_topk_per_lang / w2_row_number must never window-partition by
+    bare lang: 5 language values over a web corpus is a data-scale hot
+    key (English ~half the rows lands in ONE task at 10^12 docs).  The
+    de-skewed shapes bucket first, so every windowspecdefinition in
+    either plan carries the __b bucket column alongside lang."""
+    import re
+
+    import __spark_entry__ as e
+
+    for name in ("o2_topk_per_lang", "w2_row_number"):
+        plan = _plan(e.queries()[name](spark, "/root/testdata/sf0.001"))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        for spec in specs:
+            assert "__b" in spec, (name, spec)

@@ -6,12 +6,18 @@ that catches tie-handling, empty-group, and boundary bugs the
 example-based suites miss.  Example counts are kept small because each
 example is a Spark job."""
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Deep sweeps (VERDICT r3 #7): SPARK_GRAFT_HYP_EXAMPLES=300 plus a
+# rotating --hypothesis-seed; CI default stays small because every
+# example is a Spark job.
 SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "8")),
     deadline=None,
+    derandomize=False,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -371,6 +377,28 @@ def test_pagerank_matches_python_fixed_point(spark, edges, iters):
     assert got == r
 
 
+def _moments_exact_micro(cs):
+    """Pure-integer oracle for events_value_moments: micro-unit
+    (6-dp) mean/var/std by half-up rounding of the EXACT rationals —
+    mean = Σc/(100n), var = num/(den·10⁴), std = √(num/den)/100 with
+    num = n·Σc² − (Σc)², den = n(n−1).  The std rounding uses
+    math.isqrt so even a perfect half-tie lands deterministically."""
+    import math
+
+    def halfup(a, b):  # round half-away-from-zero of a/b, b > 0
+        if a >= 0:
+            return (2 * a + b) // (2 * b)
+        return -((-2 * a + b) // (2 * b))
+
+    n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+    num, den = n * s2 - s1 * s1, n * (n - 1)
+    mean_u = halfup(10**4 * s1, n)
+    var_u = halfup(100 * num, den)
+    # std_u = round-half-up of u/2 where u = sqrt(4T/den), T = 10^8·num
+    std_u = (math.isqrt(4 * (10**8 * num) * den) // den + 1) // 2
+    return mean_u, var_u, std_u
+
+
 @SETTINGS
 @given(
     vals=st.lists(
@@ -380,9 +408,11 @@ def test_pagerank_matches_python_fixed_point(spark, edges, iters):
 )
 def test_moments_match_python_exact(spark, vals):
     """events_value_moments arithmetic vs Python's exact integers
-    (values arrive as exact cents so round(x*100) is lossless)."""
-    import math
-
+    (values arrive as exact cents so round(x*100) is lossless).
+    The oracle rounds in INTEGER space (half-up on the exact scaled
+    numerators) — the same spec the engine and the DuckDB oracle
+    implement — so a 6-dp half-tie (e.g. var 639.2540875) has one
+    correct answer all three agree on."""
     import __spark_entry__ as entry_mod
 
     rows = [(i, g, c / 100.0) for i, (g, c) in enumerate(vals)]
@@ -396,12 +426,53 @@ def test_moments_match_python_exact(spark, vals):
         }
     for g in {g for g, _ in vals}:
         cs = [c for gg, c in vals if gg == g]
-        n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
-        mean = s1 / (100.0 * n)
-        var = (n * s2 - s1 * s1) / (n * (n - 1) * 10000.0)
-        assert abs(got[g].mean_value - round(mean, 6)) < 1e-9
-        assert abs(got[g].var_value - round(var, 6)) < 1e-9
-        assert abs(got[g].std_value - round(math.sqrt(var), 6)) < 1e-9
+        mean_u, var_u, std_u = _moments_exact_micro(cs)
+        assert got[g].mean_value == mean_u / 1e6
+        assert got[g].var_value == var_u / 1e6
+        assert got[g].std_value == std_u / 1e6
+
+
+def test_moments_half_tie_adversarial(spark):
+    """The exact groups hypothesis found in round 3 (variance
+    639.2540875 — a precise 6-dp half-tie) plus engineered mean and
+    variance half-ties, pinned as regressions: integer half-up must
+    round them UP on the engine, matching the integer oracle."""
+    import __spark_entry__ as entry_mod
+
+    groups = {
+        # n=4: num = 4·Σc² − (Σc)²; den = 12.  Variance half-tie class.
+        "r3_hypothesis": [-4223, 731, 731, 731],
+        # mean half-tie: Σc = 1, n = 2 → mean = 0.005 exactly? in
+        # micro: 10^4·1/2 = 5000 exact (not a tie) — use Σc=1, n=8:
+        # 10^4/8 = 1250 exact; a genuine tie needs 10^4·s1/n at .5 →
+        # s1 = 1, n = 3·2^?; 10^4·1/16 = 625 exact.  n=32: 312.5 → tie.
+        "mean_tie": [1] + [0] * 31,
+        # var tie: n=2, cs=[0,c] → num = c², den = 2 → var_micro tie
+        # when 100·c² ≡ 1 (mod 2) → c odd → 50·c² + .5 → ties every
+        # odd c.  c=1: var = 0.00005 → 6dp half-tie at 0.000050.
+        "var_tie_small": [0, 1],
+        "var_tie_big": [0, 4999],
+    }
+    rows, i = [], 0
+    for g, cs in groups.items():
+        for c in cs:
+            rows.append((i, g, c / 100.0))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in entry_mod.queries()["events_value_moments"](spark, d).collect()
+        }
+    for g, cs in groups.items():
+        mean_u, var_u, std_u = _moments_exact_micro(cs)
+        assert got[g].mean_value == mean_u / 1e6, g
+        assert got[g].var_value == var_u / 1e6, g
+        assert got[g].std_value == std_u / 1e6, g
 
 
 def _py_bpe(word_freqs, n_merges):
