@@ -3756,7 +3756,9 @@ def oracle_sql() -> dict[str, str]:
                     SELECT unnest(list_filter(
                         string_split_regex(lower(text), '\s+'),
                         x -> x <> '')) AS word
-                    FROM documents) GROUP BY word
+                    FROM documents)
+                WHERE NOT regexp_matches(word, '[\x{E000}-\x{F8FF}]')
+                GROUP BY word
             ),
             p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
                     SELECT unnest(list_transform(
@@ -3851,7 +3853,9 @@ def oracle_sql() -> dict[str, str]:
                     SELECT unnest(list_filter(
                         string_split_regex(lower(text), '\s+'),
                         x -> x <> '')) AS word
-                    FROM documents) GROUP BY word
+                    FROM documents)
+                WHERE NOT regexp_matches(word, '[\x{E000}-\x{F8FF}]')
+                GROUP BY word
             ),
             p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM (
                     SELECT unnest(list_transform(

@@ -26,8 +26,9 @@ scan; ``replace('aaa','aa',X) = 'Xa'`` in both).  Symbols stay single
 characters forever, so pair extraction is always ``substr(word, i, 2)``.
 
 Pair counting uses sequence bigrams (``'aaa'`` contributes ``'aa'``
-twice), the standard BPE count.  Input words must not contain U+E000..
-U+E0FF (private-use) characters — they would alias merge symbols.
+twice), the standard BPE count.  Words containing private-use-area
+characters (U+E000..U+F8FF) are dropped by ``word_frequencies`` — they
+would alias merge symbols.
 """
 
 from __future__ import annotations
@@ -57,6 +58,9 @@ def word_frequencies(
         docs.select(
             F.explode(F.expr(WORDS_EXPR.format(col=text_col))).alias("word")
         )
+        # private-use-area characters would alias merge symbols — drop
+        # such words (a no-op on real text) rather than corrupt merges
+        .filter(~F.col("word").rlike("[\\uE000-\\uF8FF]"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
@@ -75,7 +79,10 @@ def bpe_train(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     merges: list[Row] = []
-    wf = word_freq
+    # cut lineage once up front (the corpus-scale pass runs exactly
+    # once) and again each round, so round k never re-executes the
+    # k-1 replace chain over the corpus — the components.py pattern
+    wf = word_freq.localCheckpoint(eager=True)
     for k in range(1, n_merges + 1):
         pairs = wf.select(
             F.explode(F.expr(_PAIRS_EXPR.format(col="word"))).alias("pair"),
@@ -95,10 +102,14 @@ def bpe_train(
             Row(round=k, pair=best[0]["pair"], merged=symbol,
                 weight=best[0]["weight"])
         )
+        # Column-API replace: the learned pair is data, never spliced
+        # into SQL text (a pair containing ' or \ must not parse)
         wf = wf.select(
-            F.expr(f"replace(word, '{best[0]['pair']}', '{symbol}')").alias("word"),
+            F.replace(
+                F.col("word"), F.lit(best[0]["pair"]), F.lit(symbol)
+            ).alias("word"),
             "freq",
-        )
+        ).localCheckpoint(eager=True)
     return merges, wf
 
 
@@ -121,17 +132,23 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply learned merges to every document: token count after BPE.
 
-    Scan-side only — the merge list is a handful of literal replaces
-    folded into one projection (no join, no shuffle)."""
-    word = "w"
-    expr = word
-    for m in merges:
-        expr = f"replace({expr}, '{m['pair']}', '{m['merged']}')"
-    # token count of a word = its post-merge character count
+    Scan-side only — the merge list is a handful of replaces folded
+    into one projection (no join, no shuffle).  Built with the Column
+    API so learned pairs are data, never SQL text."""
+
+    def _post_merge_len(w):
+        e = w
+        for m in merges:
+            e = F.replace(e, F.lit(m["pair"]), F.lit(m["merged"]))
+        # token count of a word = its post-merge character count
+        return F.length(e)
+
+    words = F.expr(WORDS_EXPR.format(col=text_col))
     return docs.withColumn(
         out_col,
-        F.expr(
-            f"aggregate(transform({WORDS_EXPR.format(col=text_col)}, "
-            f"{word} -> length({expr})), 0L, (acc, x) -> acc + x)"
+        F.aggregate(
+            F.transform(words, _post_merge_len),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
         ),
     )

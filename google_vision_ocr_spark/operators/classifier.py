@@ -130,11 +130,17 @@ def score_hashed_linear(
                 F.transform(words, lambda w: token_bucket(w, n_buckets))
             ).alias("bucket"),
         )
+        # LEFT join + coalesce(weight, 0): a sparse model that stores
+        # only non-zero buckets must not drop uncovered tokens from
+        # n_tokens (that would shift mean_w and the keep threshold
+        # relative to the expression path)
         summed = (
-            pairs.join(F.broadcast(weights), "bucket")
+            pairs.join(F.broadcast(weights), "bucket", "left")
             .groupBy(id_col)
             .agg(
-                F.sum("weight").cast("bigint").alias("sum_w"),
+                F.sum(F.coalesce("weight", F.lit(0)))
+                .cast("bigint")
+                .alias("sum_w"),
                 F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             )
         )

@@ -27,10 +27,16 @@ DOT_EXPR = (
 
 
 def _cosine_col(vec_col: str, query_col: str):
+    # cos(0-vector, ·) is defined as 0.0 — the zero-norm guard keeps
+    # ANSI mode from raising DIVIDE_BY_ZERO and matches the matmul
+    # path's normalized-to-zero convention
     dot = DOT_EXPR.format(a=vec_col, b=query_col)
     na = DOT_EXPR.format(a=vec_col, b=vec_col)
     nb = DOT_EXPR.format(a=query_col, b=query_col)
-    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+    return F.expr(
+        f"CASE WHEN ({na}) = 0.0D OR ({nb}) = 0.0D THEN 0.0D"
+        f" ELSE ({dot}) / (sqrt({na}) * sqrt({nb})) END"
+    )
 
 
 def cosine_topk(
@@ -170,12 +176,18 @@ def make_ivf_cell_udf(cids: np.ndarray, cmat: np.ndarray):
     order = np.argsort(cids, kind="stable")
     cids = np.asarray(cids)[order]
     cmat = np.asarray(cmat, dtype=np.float64)[order]
-    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn = cmat / np.where(cnorm == 0, 1.0, cnorm)
 
     @F.pandas_udf(LongType())
     def cell_udf(vecs: pd.Series) -> pd.Series:
         v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero vector scores 0 against every
+        # centroid and lands on the min-id tie-break — the same cell
+        # the crossjoin path's NaN ordering assigns it to (NaNs compare
+        # equal-top in Spark's struct max, so -cid decides there too)
+        vnorm = np.linalg.norm(v, axis=1, keepdims=True)
+        vn = v / np.where(vnorm == 0, 1.0, vnorm)
         idx = np.argmax(vn @ cn.T, axis=1)
         return pd.Series(cids[idx].astype(np.int64))
 
@@ -191,6 +203,7 @@ def ivf_assign(
     cvec_col: str = "cv",
     method: str = "auto",
     matmul_threshold: int = 64,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid by cosine (ties break on centroid id).
@@ -208,13 +221,16 @@ def ivf_assign(
       n_centroids) FLOPs with no row blowup, the only sane shape at
       real centroid counts.
 
-    ``auto`` counts the centroid frame (one tiny action) and picks
-    matmul above ``matmul_threshold``.  At 100 TB assignment runs once
-    at index-build time and the corpus is written partitioned /
-    clustered by ``cell`` so a query's probe touches only its cells.
+    ``auto`` picks matmul above ``matmul_threshold`` centroids; pass
+    ``n_centroids`` when you know it to skip the count() action that
+    decides (callers who built the centroids know their k).  At 100 TB
+    assignment runs once at index-build time and the corpus is written
+    partitioned / clustered by ``cell`` so a query's probe touches only
+    its cells.
     """
     if method == "auto":
-        method = "matmul" if centroids.count() > matmul_threshold else "crossjoin"
+        k = n_centroids if n_centroids is not None else centroids.count()
+        method = "matmul" if k > matmul_threshold else "crossjoin"
     if method == "matmul":
         rows = centroids.select(F.col(cid_col), F.col(cvec_col)).collect()
         cids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -131,3 +131,52 @@ def test_bigram_n_tokens_counts_features(spark):
     uni = score_hashed_linear(d).first()
     bi = score_hashed_linear(d, word_bigrams=True).first()
     assert uni.n_tokens == 3 and bi.n_tokens == 5
+
+
+def test_sparse_weight_table_counts_uncovered_tokens(spark, docs):
+    """A sparse real model stores only non-zero buckets; tokens whose
+    bucket is absent must still count toward n_tokens (weight 0), so
+    the sparse table scores exactly like the complete one with those
+    buckets zeroed."""
+    full = default_weights(spark, 4096)
+    # zero out + drop every bucket hit by doc 0's tokens → doc 0 keeps
+    # its n_tokens but sums only the remaining buckets
+    from google_vision_ocr_spark.operators.classifier import token_bucket
+    from pyspark.sql import functions as F
+
+    hit = {
+        r.bucket
+        for r in docs.filter("doc_id = 0")
+        .select(
+            F.explode(
+                F.transform(
+                    F.expr(
+                        "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+                    ),
+                    lambda w: token_bucket(w, 4096),
+                )
+            ).alias("bucket")
+        )
+        .collect()
+    }
+    sparse = full.filter(~F.col("bucket").isin(list(hit)))
+    zeroed = full.withColumn(
+        "weight",
+        F.when(F.col("bucket").isin(list(hit)), F.lit(0)).otherwise(
+            F.col("weight")
+        ),
+    )
+    a = (
+        score_hashed_linear(docs, weights=sparse)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    b = (
+        score_hashed_linear(docs, weights=zeroed)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # and n_tokens is untouched relative to the expression path
+    c = score_hashed_linear(docs).orderBy("doc_id").toPandas()
+    assert list(a.n_tokens) == list(c.n_tokens)

@@ -246,3 +246,30 @@ def test_shingle_novelty_repeated_shingle_within_doc_counts_once(spark):
     )
     r = shingle_novelty(docs, k=2).first()
     assert (r.n_shingles, r.n_unique, r.novelty) == (2, 2, 1.0)
+
+
+def test_ivf_assign_zero_vector_paths_agree(spark):
+    """An all-zero embedding must land in the SAME cell (min centroid
+    id) on both physical strategies — the matmul path's zero-norm
+    guard and the crossjoin path's NaN tie-break."""
+    from google_vision_ocr_spark.operators.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])],
+        "cid bigint, cv array<double>",
+    )
+    a = {
+        r.vec_id: r.cell
+        for r in ivf_assign(vecs, cents, method="matmul").collect()
+    }
+    b = {
+        r.vec_id: r.cell
+        for r in ivf_assign(vecs, cents, method="crossjoin").collect()
+    }
+    assert a == b
+    assert a[0] == 3  # min centroid id on the all-tie row
+    assert a[1] == 7 and a[2] == 3
