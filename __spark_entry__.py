@@ -348,6 +348,28 @@ def _ann_ivf(spark, sf_dir):
                     centroid_mod=31, n_probe=4)
 
 
+def _ann_ivf_pruned(spark, sf_dir):
+    """The same IVF search as ann_ivf_cosine, but through the PHYSICAL
+    index layout: the corpus is written hive-partitioned by cell
+    (index build — fixture prep, one write per SF dir), and the rerank
+    reads it back with a literal cell IN (...) predicate so the scan
+    partition-prunes every unprobed cell.  Identical results to the
+    in-memory operator — the shared oracle replays assignment, probe
+    and rerank; tests/test_pruned_probe.py asserts the scan's
+    PartitionFilters and that only the probed cells' files are read."""
+    from google_vision_ocr_spark.operators.similarity import (
+        ivf_topk_pruned,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = "/tmp/spark_graft_ivf_" + os.path.basename(os.path.normpath(sf_dir))
+    write_ivf_index(e, path, centroid_mod=31)
+    return ivf_topk_pruned(
+        spark, e, path, query_id=0, k=10, centroid_mod=31, n_probe=4
+    )
+
+
 def _ann_lsh_planted(spark, sf_dir):
     """Falsifiable ANN-LSH recall in its design regime: 10 graded
     near-neighbors of vector 0 are planted (deterministic integer
@@ -2667,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_cosine": _ann_lsh,
         "ann_lsh_planted": _ann_lsh_planted,
         "ann_ivf_cosine": _ann_ivf,
+        "ann_ivf_pruned_probe": _ann_ivf_pruned,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
@@ -3115,6 +3138,15 @@ def oracle_sql() -> dict[str, str]:
         "chr(10) || '--- Page ' || {page} || ' ---' || chr(10) || {text} "
         "|| chr(10) || chr(10)"
     )
+    sql = _oracle_sql_entries(frame)
+    # the pruned-probe query is the same IVF search through the
+    # cell-partitioned physical layout — identical algorithm, so it
+    # shares ann_ivf_cosine's oracle verbatim
+    sql["ann_ivf_pruned_probe"] = sql["ann_ivf_cosine"]
+    return sql
+
+
+def _oracle_sql_entries(frame: str) -> dict[str, str]:
     return {
         "extract_documents_flagship": f"""
             WITH pages AS (

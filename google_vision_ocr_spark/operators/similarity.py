@@ -478,3 +478,132 @@ def random_projection(
         F.col(id_col),
         F.expr(random_projection_expr(vec_col, in_dim, out_dim)).alias("proj"),
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroid_mod: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_method: str = "auto",
+    mode: str = "overwrite",
+) -> None:
+    """Index-build half of the pruned IVF probe: assign every vector to
+    its cell and write the corpus hive-PARTITIONED by ``cell``.
+
+    This is what "the cell is a partition key at scale" means
+    physically: each cell owns its own directory, so a query that
+    probes ``n_probe`` cells plans a scan whose PartitionFilters keep
+    only those directories — the other ~``n_cells − n_probe`` never
+    produce input files (asserted in tests/test_pruned_probe.py).
+    Runs once per index rebuild; with Iceberg the identical layout is
+    ``PARTITIONED BY (cell)``."""
+    centroids = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(
+        embeddings, centroids, id_col, vec_col, method=assign_method
+    )
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_id: int,
+    k: int = 10,
+    centroid_mod: int = 31,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query half: same semantics as :func:`ivf_topk`, but the rerank
+    reads the cell-partitioned index with a LITERAL ``cell IN (...)``
+    predicate, so Catalyst statically prunes every unprobed cell's
+    directory out of the scan.  The probe-cell selection is a bounded
+    driver action (≤ ``n_probe`` ids from the tiny centroid frame) —
+    that collect is exactly what turns a runtime semi-join into
+    compile-time partition pruning."""
+    centroids = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    probe_cells = [
+        r["cid"]
+        for r in centroids.crossJoin(F.broadcast(qrow))
+        .select("cid", _cosine_col("cv", "__q").alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("cid"))
+        .limit(n_probe)
+        .collect()
+    ]
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    return (
+        idx.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
+    )
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ONE hyperplane-LSH table hive-partitioned by its ``code``
+    — the physical layout behind "the per-table code is a partition
+    key".  A radius-``r`` probe then enumerates the code's Hamming-
+    ball literals and scans only those directories."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    udf = make_bucket_udf(dim, n_planes, seed)
+    coded = embeddings.withColumn("code", udf(F.col(vec_col)))
+    coded.write.mode(mode).partitionBy("code").parquet(path)
+
+
+def lsh_probe_pruned(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Radius-1 probe of a :func:`write_lsh_index` table: the query's
+    code plus its ``n_planes`` single-bit flips are ``1 + n_planes``
+    literal partition values — the scan reads only that Hamming ball's
+    directories, never the full table."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    udf = make_bucket_udf(dim, n_planes, seed)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), udf(F.col(vec_col)).alias("__qc")
+    )
+    qc = qrow.select("__qc").first()["__qc"]
+    ball = [qc] + [qc ^ (1 << b) for b in range(n_planes)]
+    idx = spark.read.parquet(index_path).filter(F.col("code").isin(ball))
+    return (
+        idx.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qrow.select("__q")))
+        .select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
+    )
