@@ -2666,32 +2666,79 @@ def _tier_extraction(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver window (first 50; all oracled) -------------------
+        # The driver's CORRECTNESS sweep hashes only the first 50
+        # entries, so this window rotates each round: flagship + one
+        # representative per SURVEY §2 family stays pinned, the rest
+        # front-loads queries with no prior driver evidence (policy in
+        # SURVEY §8).  The 4 seeded-hash LSH entries (no SQL oracle)
+        # sit at the tail so they never consume a hash-checkable slot.
         "extract_documents_flagship": _flagship,
         "f1_filter_project": _f1_filter,
-        "f7_tagged_projection": _f7_tagged_projection,
-        "j1_equi_join": _j1_equi_join,
         "j2_semi_join": _j2_semi_join,
-        "j3_anti_join": _j3_anti_join,
         "a1_group_concat_framed": _a1_group_concat,
-        "a2_merged_chapters": _a2_merged_chapters,
         "w1_gaps_islands": _w1_gaps_islands,
-        "w2_row_number": _w2_row_number,
         "o2_topk_per_lang": _o2_topk_per_lang,
         "set_union_dedup": _set_union_dedup,
-        "a3_counts": _a3_counts,
         "t6_templating": _t6_templating,
+        "events_sessionize": _events_sessionize,
+        "tpch_q2_min_cost_supplier": _tpch_q2,
+        "tpch_q9_product_profit": _tpch_q9,
+        "tpch_q11_important_stock": _tpch_q11,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q16_part_supplier_counts": _tpch_q16,
+        "tpch_q20_excess_stock": _tpch_q20,
+        "tpch_q21_waiting_suppliers": _tpch_q21,
+        "ann_ivf_pruned_probe": _ann_ivf_pruned,
+        "bpe_train_merges": _bpe_merges,
+        "bpe_encoded_tokens": _bpe_encoded_tokens,
+        "inverted_postings": _inverted_postings,
+        "postings_segment_merge": _postings_segment_merge,
+        "quality_classifier_scores": _quality_classifier,
+        "quality_classifier_bigrams": _quality_classifier_bigrams,
+        "tier_extraction": _tier_extraction,
+        "host_pagerank": _host_pagerank,
+        "warc_roundtrip": _warc_roundtrip,
+        "tpch_q4_priority_count": _tpch_q4,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q7_two_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q12_priority_classes": _tpch_q12,
+        "tpch_q13_order_distribution": _tpch_q13,
+        "tpch_q14_promo_revenue": _tpch_q14,
+        "tpch_q17_small_quantity": _tpch_q17,
+        "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q19_disjunctive_revenue": _tpch_q19,
+        "tpch_q22_sales_opportunity": _tpch_q22,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_one": _dedup_keep_one,
+        "asof_purchase_view": _asof_purchase_view,
+        "scd2_user_state": _scd2_user_state,
+        "snapshot_diff_cdc": _snapshot_diff_cdc,
+        "merge_upsert_snapshot": _merge_upsert_snapshot,
+        "events_value_moments": _events_moments,
+        "events_value_anomalies": _events_anomalies,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "bm25_search": _bm25_search,
+        "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
+        "duplicate_token_windows": _duplicate_windows,
+        # --- outside the window (driver-checked in earlier rounds, or
+        # verified by the local gate at sf0.001/0.01/0.1) ------------
+        "f7_tagged_projection": _f7_tagged_projection,
+        "j1_equi_join": _j1_equi_join,
+        "j3_anti_join": _j3_anti_join,
+        "a2_merged_chapters": _a2_merged_chapters,
+        "w2_row_number": _w2_row_number,
+        "a3_counts": _a3_counts,
         "t8_id_derivation": _t8_id_derivation,
         "text_token_counts": _text_token_counts,
         "text_quality_punct": _text_quality_punct,
         "dedup_exact": _dedup_exact,
         "events_hourly": _events_hourly,
         "ann_bruteforce_cosine": _ann_bruteforce,
-        "ann_lsh_cosine": _ann_lsh,
         "ann_lsh_planted": _ann_lsh_planted,
         "ann_ivf_cosine": _ann_ivf,
-        "ann_ivf_pruned_probe": _ann_ivf_pruned,
-        "dedup_minhash_lsh": _minhash_pairs,
-        "dedup_simhash": _simhash_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_minhash_containment": _minhash_containment,
         "dedup_simhash_containment": _simhash_containment,
@@ -2713,77 +2760,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _repetition_metrics,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
-        "lsh_bucket_histogram": _lsh_bucket_histogram,
         "embedding_near_dups": _embedding_near_dups,
-        "events_sessionize": _events_sessionize,
         "curate_documents": _curate_documents,
-        "warc_roundtrip": _warc_roundtrip,
-        "asof_purchase_view": _asof_purchase_view,
         "events_rollup": _events_rollup,
         "retention_cohorts": _retention_cohorts,
         "kmeans_assignments": _kmeans_assignments,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q18_large_orders": _tpch_q18,
-        "tpch_q14_promo_revenue": _tpch_q14,
-        "tpch_q10_returned_items": _tpch_q10,
-        "tpch_q4_priority_count": _tpch_q4,
-        "tpch_q12_priority_classes": _tpch_q12,
-        "tpch_q13_order_distribution": _tpch_q13,
-        "tpch_q17_small_quantity": _tpch_q17,
-        "tpch_q19_disjunctive_revenue": _tpch_q19,
-        "tpch_q7_two_nation_volume": _tpch_q7,
-        "tpch_q8_market_share": _tpch_q8,
-        "tpch_q22_sales_opportunity": _tpch_q22,
-        "tpch_q2_min_cost_supplier": _tpch_q2,
-        "tpch_q9_product_profit": _tpch_q9,
-        "tpch_q11_important_stock": _tpch_q11,
-        "tpch_q15_top_supplier": _tpch_q15,
-        "tpch_q16_part_supplier_counts": _tpch_q16,
-        "tpch_q20_excess_stock": _tpch_q20,
-        "tpch_q21_waiting_suppliers": _tpch_q21,
         "top_words_per_lang": _top_words_per_lang,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_keep_one": _dedup_keep_one,
         "url_domain_stats_psl": _url_domain_stats_psl,
         "events_interval_join": _events_interval_join,
         "events_pivot_daily": _events_pivot_daily,
         "events_funnel": _events_funnel,
         "events_daily_distinct": _events_daily_distinct,
-        "merge_upsert_snapshot": _merge_upsert_snapshot,
         "events_user_lag": _events_user_lag,
         "events_props_json": _events_props_json,
         "token_chunks": _token_chunks,
         "target_mix_resample": _target_mix_resample,
         "profile_documents": _profile_documents,
-        "scd2_user_state": _scd2_user_state,
-        "host_pagerank": _host_pagerank,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "snapshot_diff_cdc": _snapshot_diff_cdc,
         "events_rolling_7d": _events_rolling_7d,
-        "events_value_moments": _events_moments,
-        "bm25_search": _bm25_search,
         "events_equidepth_histogram": _events_histogram,
         "zorder_keys": _zorder_keys,
-        "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
-        "duplicate_token_windows": _duplicate_windows,
-        "tier_extraction": _tier_extraction,
-        "events_value_anomalies": _events_anomalies,
         "jl_projection": _jl_projection,
         "set_intersect_except": _set_intersect_except,
         "events_weighted_median": _weighted_median,
         "events_cube_weekly": _events_cube,
         "events_session_window": _session_window_builtin,
         "ann_projected_cosine": _ann_projected,
-        "quality_classifier_scores": _quality_classifier,
-        "inverted_postings": _inverted_postings,
-        "bpe_train_merges": _bpe_merges,
-        "postings_segment_merge": _postings_segment_merge,
-        "quality_classifier_bigrams": _quality_classifier_bigrams,
-        "bpe_encoded_tokens": _bpe_encoded_tokens,
         "shingle_novelty": _shingle_novelty,
         "contamination_fraction": _contamination_fraction,
         "normalized_text": _normalized_text,
         "domain_blocklist_filter": _domain_blocklist_filter,
+        # --- no-oracle tail (seeded-hash LSH; rows-only check) ------
+        "ann_lsh_cosine": _ann_lsh,
+        "dedup_minhash_lsh": _minhash_pairs,
+        "dedup_simhash": _simhash_pairs,
+        "lsh_bucket_histogram": _lsh_bucket_histogram,
     }
 
 
