@@ -27,6 +27,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# round(p/q, n) by INTEGER half-up — the tie-proof recipe for every
+# exact-rational output column (q3/moments defect class); shared
+# implementation + rationale in functions/exact.py
+from google_vision_ocr_spark.functions.exact import (  # noqa: E402
+    halfup_ratio as _halfup_ratio,
+    halfup_ratio_sql as _halfup_ratio_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -240,13 +249,20 @@ def _set_union_dedup(spark, sf_dir):
 
 
 def _a3_counts(spark, sf_dir):
+    # avg via integer half-up on (sum, count) — round(avg(double), 4)
+    # of an exact rational is the q3 tie class
     return (
         _t(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            _halfup_ratio("sum_chars", "n_docs", 4).alias("avg_chars"),
         )
     )
 
@@ -294,7 +310,11 @@ def _text_quality_punct(spark, sf_dir):
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_chars_calc"),
-        F.round(punct * F.lit(1.0) / n, 6).alias("punct_ratio"),
+        punct.cast("bigint").alias("__p"),
+    ).select(
+        "doc_id",
+        "n_chars_calc",
+        _halfup_ratio("__p", "n_chars_calc", 6).alias("punct_ratio"),
     )
 
 
@@ -482,20 +502,30 @@ def _tpch_q1(spark, sf_dir):
         return (F.floor((unit_sum + F.lit(half)) / F.lit(float(unit)))
                 .cast("bigint") / F.lit(100.0))
 
+    # avgs ride integer half-up on (cent-sum, count) — round(double, 4)
+    # of the exact rational sum/(100·n) is the q3/moments tie class
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
-            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
-            to_cents(F.sum(price_c * (100 - disc_c)), 50, 100)
-            .alias("sum_disc_price"),
-            to_cents(F.sum(price_c * (100 - disc_c) * (100 + tax_c)), 5000, 10000)
-            .alias("sum_charge"),
-            F.round(F.sum(qty_c) / 100.0 / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(price_c) / 100.0 / cnt, 4).alias("avg_price"),
-            F.round(F.sum(disc_c) / 100.0 / cnt, 4).alias("avg_disc"),
+            F.sum(qty_c).alias("__sq"),
+            F.sum(price_c).alias("__sp"),
+            F.sum(disc_c).alias("__sd"),
+            F.sum(price_c * (100 - disc_c)).alias("__sdp"),
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("__sch"),
             cnt.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("__sq") / F.lit(100.0)).alias("sum_qty"),
+            (F.col("__sp") / F.lit(100.0)).alias("sum_base_price"),
+            to_cents(F.col("__sdp"), 50, 100).alias("sum_disc_price"),
+            to_cents(F.col("__sch"), 5000, 10000).alias("sum_charge"),
+            _halfup_ratio("__sq", "100 * count_order", 4).alias("avg_qty"),
+            _halfup_ratio("__sp", "100 * count_order", 4).alias("avg_price"),
+            _halfup_ratio("__sd", "100 * count_order", 4).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -545,14 +575,36 @@ def _pack_shards_manifest(spark, sf_dir):
 
 
 def _events_quantiles(spark, sf_dir):
-    """Exact per-group quantiles (interpolated): Spark `percentile`
-    mirrors DuckDB `quantile_cont` bit-for-bit after rounding — the
-    monitoring/percentile-report shape over the events stream table."""
+    """Exact per-group interpolated quantiles, computed ENTIRELY in
+    integers: values quantize to lossless cents, the percentile
+    position splits as (k·(n−1)) div/mod 100, and the interpolated
+    value v_lo·(100−r) + v_hi·r is an exact integer in cent-percent
+    units — so the 4-dp output is U/10⁴ with NO rounding step at all
+    (round(percentile(double), 4) was the tie class).  Exact
+    percentiles need the full per-group sort either way; at 100 TB the
+    approx_percentile sketch is the path (see profile_columns)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    c = F.round(F.col("value") * 100).cast("bigint")
+    g = e.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(c)).alias("__c"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def pct(k):
+        pos = f"({k} * (n_events - 1))"
+        lo = f"CAST(({pos} div 100) + 1 AS INT)"
+        hi = f"CAST(least(({pos} div 100) + 2, n_events) AS INT)"
+        r = f"({pos} % 100)"
+        return F.expr(
+            f"CAST(element_at(__c, {lo}) * (100 - {r})"
+            f" + element_at(__c, {hi}) * {r} AS DOUBLE) / 10000.0"
+        )
+
+    return g.select(
+        "event_type",
+        pct(50).alias("p50"),
+        pct(95).alias("p95"),
+        "n_events",
     )
 
 
@@ -689,16 +741,38 @@ def _repetition_metrics(spark, sf_dir):
     structure is planted deterministically by breaking at spaces —
     giving every doc a non-trivial duplicate-line profile).  Computed
     with zero-shuffle JVM higher-order functions."""
-    from google_vision_ocr_spark.operators.quality_rules import repetition_metrics
+    from google_vision_ocr_spark.operators.quality_rules import _LINES
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
     )
-    m = repetition_metrics(d)
-    return m.select(
-        "doc_id", "n_lines",
-        F.round("dup_line_frac", 6).alias("dup_line_frac"),
-        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+    # 6-dp fracs by integer half-up on the exact (count, count) /
+    # (chars, chars) rationals — round(double, 6) is the tie class
+    lines = _LINES.format(col="text")
+    dup_chars = (
+        f"aggregate(filter({lines}, x -> size(filter({lines}, y -> y = x))"
+        f" > 1), 0L, (acc, x) -> acc + length(x))"
+    )
+    total_chars = f"aggregate({lines}, 0L, (acc, x) -> acc + length(x))"
+    base = d.select(
+        "doc_id",
+        F.expr(f"size({lines})").cast("bigint").alias("n_lines"),
+        F.expr(f"size(array_distinct({lines}))").cast("bigint").alias("__d"),
+        F.expr(dup_chars).cast("bigint").alias("__dc"),
+        F.expr(total_chars).cast("bigint").alias("__tc"),
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        F.when(
+            F.col("n_lines") > 0,
+            _halfup_ratio("n_lines - __d", "n_lines", 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(F.col("__tc") > 0, _halfup_ratio("__dc", "__tc", 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
     )
 
 
@@ -862,7 +936,7 @@ def _minhash_containment(spark, sf_dir):
     exact = ngram_jaccard_pairs(d, k=3, threshold=0.8)
     cands = minhash_lsh_pairs(d).select("id_a", "id_b")
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -885,7 +959,7 @@ def _simhash_containment(spark, sf_dir):
     exact = ngram_jaccard_pairs(d, k=3, threshold=0.8)
     cands = simhash_candidates(d, max_hamming=13).select("id_a", "id_b")
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -895,7 +969,7 @@ def _ngram_jaccard(spark, sf_dir):
     from google_vision_ocr_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", "jaccard")
 
 
 def _embedding_near_dups_exact(spark, sf_dir):
@@ -1119,12 +1193,20 @@ def _tpch_q14(spark, sf_dir):
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(12,2)"))
     joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    return joined.agg(
-        F.round(
-            F.lit(100.0) * F.sum(promo).cast("double")
-            / F.sum(rev).cast("double"), 4
-        ).alias("promo_revenue_pct"),
-        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    return (
+        joined.agg(
+            F.sum(promo).alias("__p"),
+            F.sum(rev).alias("__t"),
+        )
+        .select(
+            # pct via integer half-up on exact 1e-4-dollar units
+            _halfup_ratio(
+                "CAST(__p * 10000 AS BIGINT) * 100",
+                "CAST(__t * 10000 AS BIGINT)",
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.col("__t"), 2).cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -1365,10 +1447,19 @@ def _tpch_q8(spark, sf_dir):
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(n3).cast("double") / F.sum(rev).cast("double"), 6
+            F.sum(n3).alias("__n3"),
+            F.sum(rev).alias("__rev"),
+        )
+        .select(
+            "o_year",
+            # share via integer half-up on exact 1e-4-dollar units —
+            # round(double ratio, 6) is the tie class
+            _halfup_ratio(
+                "CAST(__n3 * 10000 AS BIGINT)",
+                "CAST(__rev * 10000 AS BIGINT)",
+                6,
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            F.round(F.col("__rev"), 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -1770,12 +1861,9 @@ def _events_user_lag(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wavg = w.rowsBetween(-2, 0)
-    val = F.col("value").cast("decimal(12,2)")
-    # moving avg = exact decimal sum cast to double, divided by the
-    # window count: both engines round the SAME double (the q1 pattern)
-    ma3 = F.round(
-        F.sum(val).over(wavg).cast("double") / F.count(F.lit(1)).over(wavg), 4
-    )
+    # moving avg via integer half-up on (cent-sum, count) — the tie-
+    # proof ratio recipe (functions/exact.py)
+    cs = F.sum(F.round(F.col("value") * 100).cast("bigint")).over(wavg)
     return e.select(
         "event_id", "user_id",
         F.coalesce(
@@ -1783,7 +1871,11 @@ def _events_user_lag(spark, sf_dir):
              - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))) / 1000000,
             F.lit(-1.0),
         ).alias("delta_s"),
-        ma3.alias("value_ma3"),
+        cs.alias("__cs"),
+        F.count(F.lit(1)).over(wavg).alias("__cn"),
+    ).select(
+        "event_id", "user_id", "delta_s",
+        _halfup_ratio("__cs", "100 * __cn", 4).alias("value_ma3"),
     )
 
 
@@ -2844,18 +2936,29 @@ _LANG_CASE_SQL = """
 
 # quality_score formula over the feature columns produced by
 # _quality_feature_sql (weights/thresholds per functions/text.py:76-89)
-_QUALITY_CASE_SQL = """
-              CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-                round(
-                  (0.4 * least(n_chars/500.0, 1.0)
-                   + 0.2 * (CASE WHEN mean_len BETWEEN 2.0 AND 12.0
-                            THEN 1.0 ELSE 0.5 END)
-                   + 0.2 * (CASE WHEN punct * 1.0 / n_chars <= 0.2
-                            THEN 1.0 ELSE 0.5 END)
-                   + 0.2 * least((stop*1.0/n_tokens) / 0.2, 1.0))
-                  * least(2.0 * (CASE WHEN non_space > 0
-                                 THEN alnum*1.0/non_space ELSE 0.0 END), 1.0)
-                , 6) END"""
+# The quality score as an EXACT integer rational (mirror of
+# functions/text.py::quality_score): every term is a ratio of integer
+# counts, so base·damp = base_num·md / (2500·n_tokens·non_space) with
+#   base_num = 2·min(n,500)·nt + {500|250}·nt (shape) + {500|250}·nt
+#              (punct) + 500·min(5·stop, nt)
+#   md = min(2·alnum, non_space)
+# and the 6-dp output is integer half-up of that rational — no
+# round(double, 6) for the engines to split on at a tie.  int64 bound:
+# nt·ns ≤ ~3.6e9 (≈ multi-hundred-KB docs; curation length gates bound
+# inputs far below).
+_QUALITY_NUM_SQL = """(2 * least(n_chars, 500) * n_tokens
+                   + (CASE WHEN 2 * n_tokens <= sum_len
+                                AND sum_len <= 12 * n_tokens
+                           THEN 500 ELSE 250 END) * n_tokens
+                   + (CASE WHEN 5 * punct <= n_chars
+                           THEN 500 ELSE 250 END) * n_tokens
+                   + 500 * least(5 * stop, n_tokens))
+                  * least(2 * alnum, non_space)"""
+_QUALITY_DEN_SQL = "2500 * n_tokens * non_space"
+_QUALITY_CASE_SQL = f"""
+              CASE WHEN n_tokens = 0 OR non_space = 0 THEN 0.0 ELSE
+                {_halfup_ratio_sql(_QUALITY_NUM_SQL, _QUALITY_DEN_SQL, 6)}
+              END"""
 
 
 def _quality_feature_sql(t: str) -> str:
@@ -2871,9 +2974,8 @@ def _quality_feature_sql(t: str) -> str:
 
 _TOKEN_STATS_SQL = f"""
                 len(toks) AS n_tokens,
-                CASE WHEN len(toks) > 0
-                     THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
-                     ELSE 0.0 END AS mean_len,
+                CAST(coalesce(list_sum(list_transform(toks,
+                    x -> length(x))), 0) AS BIGINT) AS sum_len,
                 len(list_filter(toks, x -> list_contains([{_STOPLIST_SQL}],
                     trim(lower(x), {_TRIM_CHARS_SQL})))) AS stop"""
 
@@ -2990,7 +3092,7 @@ def _curate_oracle() -> str:
                 SELECT DISTINCT greatest(a.url, b.url) AS url
                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.url < b.url
                 GROUP BY a.url, b.url, a.n, b.n
-                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.8
+                HAVING 1000000 * count(*) >= 800000 * (a.n + b.n - count(*))
             )
             SELECT url, ws_tokens, lang_guess, quality
             FROM deduped WHERE url NOT IN (SELECT url FROM losers)
@@ -2998,7 +3100,12 @@ def _curate_oracle() -> str:
 
 
 def _exact_jaccard_oracle(threshold: float) -> str:
-    """Exact word-3-shingle Jaccard pairs >= threshold over documents."""
+    """Exact word-3-shingle Jaccard pairs >= threshold over documents.
+    Threshold compare and the reported 6-dp jaccard are both integer-
+    exact (ppm compare + half-up ratio) — no double round at a tie."""
+    from google_vision_ocr_spark.functions.exact import ppm
+
+    t_ppm = ppm(threshold)
     return rf"""
             WITH toks AS (
                 SELECT doc_id,
@@ -3015,10 +3122,11 @@ def _exact_jaccard_oracle(threshold: float) -> str:
                 FROM toks
             ), ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) AS jaccard
+                   {_halfup_ratio_sql("count(*)", "a.n + b.n - count(*)", 6)}
+                       AS jaccard
             FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id, a.n, b.n
-            HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= {threshold}
+            HAVING 1000000 * count(*) >= {t_ppm} * (a.n + b.n - count(*))
         """
 
 
@@ -3046,7 +3154,7 @@ def _tier_oracle_sql() -> str:
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id, a.n, b.n
-                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+                HAVING 1000000 * count(*) >= 500000 * (a.n + b.n - count(*))
             ), uedges AS (
                 SELECT id_a AS u, id_b AS v FROM jpairs
                 UNION SELECT id_b, id_a FROM jpairs
@@ -3253,11 +3361,15 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 SELECT doc_id FROM documents WHERE n_chars < 400
             )
         """,
-        "a3_counts": """
-            SELECT source, count(*) AS n_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                   round(avg(n_chars), 4) AS avg_chars
-            FROM documents GROUP BY source
+        "a3_counts": f"""
+            WITH g AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, sum_chars,
+                   {_halfup_ratio_sql("sum_chars", "n_docs", 4)} AS avg_chars
+            FROM g
         """,
         "t6_templating": """
             SELECT doc_id,
@@ -3275,16 +3387,23 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                    cast(len(string_split_regex(trim(text), '\s+')) AS bigint) AS ws_tokens
             FROM documents
         """,
-        "text_quality_punct": """
+        "text_quality_punct": f"""
             WITH d AS (
                 SELECT doc_id,
                        text || repeat('!', CAST(doc_id % 5 AS INT)) AS text
                 FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars_calc,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[.,!?;:]', '',
+                                                    'g')) AS BIGINT) AS p
+                FROM d
             )
-            SELECT doc_id, cast(length(text) AS bigint) AS n_chars_calc,
-                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                         * 1.0 / length(text), 6) AS punct_ratio
-            FROM d
+            SELECT doc_id, n_chars_calc,
+                   {_halfup_ratio_sql("p", "n_chars_calc", 6)}
+                       AS punct_ratio
+            FROM m
         """,
         "dedup_exact": """
             WITH d AS (
@@ -3367,7 +3486,7 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
         # side: round(x*100) recovers lossless int64 cents; product
         # sums carry 10^-4/10^-6 dollar units and round back to cents
         # HALF-UP IN INTEGERS, so no float tie is ever rounded
-        "tpch_q1_pricing_summary": """
+        "tpch_q1_pricing_summary": f"""
             WITH d AS (
                 SELECT l_returnflag, l_linestatus,
                        CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
@@ -3376,25 +3495,33 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                        CAST(round(l_tax * 100) AS BIGINT) AS tax_c
                 FROM lineitem
                 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            ), g AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(qty_c) AS BIGINT) AS sq,
+                       CAST(sum(price_c) AS BIGINT) AS sp,
+                       CAST(sum(disc_c) AS BIGINT) AS sd,
+                       CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sdp,
+                       CAST(sum(price_c * (100 - disc_c) * (100 + tax_c))
+                            AS BIGINT) AS sch,
+                       count(*) AS count_order
+                FROM d
+                GROUP BY l_returnflag, l_linestatus
             )
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(qty_c) AS BIGINT) / 100.0 AS sum_qty,
-                   CAST(sum(price_c) AS BIGINT) / 100.0 AS sum_base_price,
-                   CAST(floor((CAST(sum(price_c * (100 - disc_c)) AS BIGINT)
-                               + 50) / 100.0) AS BIGINT) / 100.0
+                   sq / 100.0 AS sum_qty,
+                   sp / 100.0 AS sum_base_price,
+                   CAST(floor((sdp + 50) / 100.0) AS BIGINT) / 100.0
                        AS sum_disc_price,
-                   CAST(floor((CAST(sum(price_c * (100 - disc_c) * (100 + tax_c))
-                                    AS BIGINT) + 5000) / 10000.0) AS BIGINT)
-                       / 100.0 AS sum_charge,
-                   round(CAST(sum(qty_c) AS BIGINT) / 100.0 / count(*), 4)
+                   CAST(floor((sch + 5000) / 10000.0) AS BIGINT) / 100.0
+                       AS sum_charge,
+                   {_halfup_ratio_sql("sq", "100 * count_order", 4)}
                        AS avg_qty,
-                   round(CAST(sum(price_c) AS BIGINT) / 100.0 / count(*), 4)
+                   {_halfup_ratio_sql("sp", "100 * count_order", 4)}
                        AS avg_price,
-                   round(CAST(sum(disc_c) AS BIGINT) / 100.0 / count(*), 4)
+                   {_halfup_ratio_sql("sd", "100 * count_order", 4)}
                        AS avg_disc,
-                   count(*) AS count_order
-            FROM d
-            GROUP BY l_returnflag, l_linestatus
+                   count_order
+            FROM g
         """,
         # width = PAGE_WIDTH (64); height = max(8, ceil((4 + utf8 bytes)
         # / 64)) per formats.render_page_rgb's layout; gray PNG => 1 ch
@@ -3549,7 +3676,7 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM h
         """,
-        "repetition_metrics": """
+        "repetition_metrics": f"""
             WITH l AS (
                 SELECT doc_id,
                        list_filter(string_split(replace(text, ' ', chr(10)),
@@ -3566,12 +3693,17 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 FROM l
             )
             SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
-                   round(CASE WHEN len(lines) > 0
-                              THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
-                              ELSE 0.0 END, 6) AS dup_line_frac,
-                   round(CASE WHEN total_chars > 0
-                              THEN dup_chars * 1.0 / total_chars
-                              ELSE 0.0 END, 6) AS dup_line_char_frac
+                   CASE WHEN len(lines) > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(len(lines) - len(list_distinct(lines))"
+                            " AS BIGINT)",
+                            "CAST(len(lines) AS BIGINT)", 6)}
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN total_chars > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(dup_chars AS BIGINT)",
+                            "CAST(total_chars AS BIGINT)", 6)}
+                        ELSE 0.0 END AS dup_line_char_frac
             FROM agg
         """,
         "paragraph_dedup": """
@@ -3613,12 +3745,22 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             ), vocab AS (
                 SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 1000
             )
-            SELECT doc_id, count(*) AS n_words,
-                   round(avg(-ln(coalesce(v.cnt, 1) * 1.0 / total)), 6)
-                       AS avg_neg_logprob
-            FROM w LEFT JOIN vocab v USING (word), tot
-            GROUP BY doc_id
-        """,
+            , scored AS (
+                SELECT doc_id,
+                       CAST(round(-ln(coalesce(v.cnt, 1)
+                                      / CAST(total AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS nlp_u
+                FROM w LEFT JOIN vocab v USING (word), tot
+            ), g AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(nlp_u) AS BIGINT) AS s
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_words,
+                   {halfup} AS avg_neg_logprob
+            FROM g
+        """.replace("{halfup}",
+                    _halfup_ratio_sql("s", "1000000 * n_words", 6)),
         "pack_shards_manifest": r"""
             WITH t AS (
                 SELECT doc_id, lang,
@@ -3639,11 +3781,28 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             FROM packed GROUP BY lang, shard_id
         """,
         "events_value_quantiles": """
+            WITH g AS (
+                SELECT event_type,
+                       list_sort(list(CAST(round(value * 100) AS BIGINT)))
+                           AS c,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY event_type
+            )
             SELECT event_type,
-                   round(quantile_cont(value, 0.5), 4) AS p50,
-                   round(quantile_cont(value, 0.95), 4) AS p95,
-                   count(*) AS n_events
-            FROM events GROUP BY event_type
+                   CAST(c[CAST((50 * (n_events - 1)) // 100 + 1 AS INT)]
+                            * (100 - (50 * (n_events - 1)) % 100)
+                        + c[CAST(least((50 * (n_events - 1)) // 100 + 2,
+                                       n_events) AS INT)]
+                            * ((50 * (n_events - 1)) % 100)
+                        AS DOUBLE) / 10000.0 AS p50,
+                   CAST(c[CAST((95 * (n_events - 1)) // 100 + 1 AS INT)]
+                            * (100 - (95 * (n_events - 1)) % 100)
+                        + c[CAST(least((95 * (n_events - 1)) // 100 + 2,
+                                       n_events) AS INT)]
+                            * ((95 * (n_events - 1)) % 100)
+                        AS DOUBLE) / 10000.0 AS p95,
+                   n_events
+            FROM g
         """,
         # independent derivation: instead of replaying the regex chain,
         # the oracle constructs the canonical form the rules SHOULD
@@ -3818,7 +3977,7 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
         """,
-        "tpch_q14_promo_revenue": """
+        "tpch_q14_promo_revenue": f"""
             WITH j AS (
                 SELECT CAST(l_extendedprice AS DECIMAL(12,2))
                        * (CAST(1 AS DECIMAL(3,2))
@@ -3827,14 +3986,17 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
                   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+            ), g AS (
+                SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                ELSE CAST(0 AS DECIMAL(12,2)) END) AS p,
+                       sum(rev) AS t
+                FROM j
             )
-            SELECT round(100.0
-                         * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
-                                         ELSE CAST(0 AS DECIMAL(12,2)) END)
-                                AS DOUBLE)
-                         / CAST(sum(rev) AS DOUBLE), 4) AS promo_revenue_pct,
-                   CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
-            FROM j
+            SELECT {_halfup_ratio_sql("CAST(p * 10000 AS BIGINT) * 100",
+                                      "CAST(t * 10000 AS BIGINT)", 4)}
+                       AS promo_revenue_pct,
+                   CAST(round(t, 2) AS DOUBLE) AS total_revenue
+            FROM g
         """,
         "token_chunks": r"""
             WITH base AS (
@@ -4747,7 +4909,7 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
             GROUP BY 1, 2, 3
         """,
-        "tpch_q8_market_share": """
+        "tpch_q8_market_share": f"""
             WITH j AS (
                 SELECT year(o_orderdate) AS o_year,
                        CAST(l_extendedprice AS DECIMAL(12,2))
@@ -4764,14 +4926,19 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 JOIN part ON l_partkey = p_partkey
                 WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
             )
+            , g AS (
+                SELECT o_year,
+                       sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                ELSE CAST(0 AS DECIMAL(12,2)) END) AS n3,
+                       sum(rev) AS total
+                FROM j GROUP BY o_year
+            )
             SELECT o_year,
-                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
-                                       THEN rev
-                                       ELSE CAST(0 AS DECIMAL(12,2)) END)
-                              AS DOUBLE)
-                         / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
-                   CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
-            FROM j GROUP BY o_year
+                   {_halfup_ratio_sql("CAST(n3 * 10000 AS BIGINT)",
+                                      "CAST(total * 10000 AS BIGINT)", 6)}
+                       AS mkt_share,
+                   CAST(round(total, 2) AS DOUBLE) AS total_revenue
+            FROM g
         """,
         "tpch_q2_min_cost_supplier": f"""
             WITH {_PARTSUPP_SQL},
@@ -5018,16 +5185,22 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             SELECT doc_id + 100000 AS doc_id, 'new' AS lang, n_chars
             FROM d WHERE doc_id < 20
         """,
-        "events_user_lag": """
-            SELECT event_id, user_id,
-                   coalesce((epoch_us(ts) - epoch_us(lag(ts, 1) OVER w))
-                            / 1000000, -1.0) AS delta_s,
-                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w3
-                              AS DOUBLE) / count(*) OVER w3, 4) AS value_ma3
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-                   w3 AS (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        "events_user_lag": f"""
+            WITH b AS (
+                SELECT event_id, user_id,
+                       coalesce((epoch_us(ts) - epoch_us(lag(ts, 1) OVER w))
+                                / 1000000, -1.0) AS delta_s,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w3
+                            AS BIGINT) AS cs,
+                       CAST(count(*) OVER w3 AS BIGINT) AS cn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, delta_s,
+                   {_halfup_ratio_sql("cs", "100 * cn", 4)} AS value_ma3
+            FROM b
         """,
         "events_props_json": """
             SELECT event_type, count(*) AS n,
@@ -5093,7 +5266,7 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id, a.n, b.n
-                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+                HAVING 1000000 * count(*) >= 500000 * (a.n + b.n - count(*))
             ), edges AS (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b, id_a FROM pairs
@@ -5125,7 +5298,7 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id, a.n, b.n
-                HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+                HAVING 1000000 * count(*) >= 500000 * (a.n + b.n - count(*))
             ), edges AS (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b, id_a FROM pairs

@@ -11,11 +11,39 @@ without materializing results on the driver.
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: clean-window reading of hardware_control() on this VM (best of 5,
+#: 2026-08-17 ~04:45 UTC).  A control_sec far above this means the VM
+#: was throttled DURING this bench run — read the query timings
+#: accordingly (this box shows episodic 2-4x storms and sustained
+#: evening throttle windows; see BENCH/BASELINE.md).
+CONTROL_REF_SEC = 1.48
+
+
+def _control_work(n: int) -> int:
+    import hashlib
+
+    h = b"\0" * 64
+    for _ in range(n):
+        h = hashlib.blake2b(h, digest_size=64).digest()
+    return h[0]
+
+
+def hardware_control(workers: int = 8, iters: int = 3_000_000) -> float:
+    """Fixed CPU-bound reading that makes every BENCH_r{N}.json
+    self-diagnosing: 8 processes each chain ``iters`` blake2b hashes —
+    no Spark, no IO, deterministic work — so the wall time moves ONLY
+    with the VM's effective clock.  Compare against CONTROL_REF_SEC."""
+    t0 = time.perf_counter()
+    with multiprocessing.Pool(workers) as pool:
+        pool.map(_control_work, [iters] * workers)
+    return round(time.perf_counter() - t0, 3)
 
 HEADLINE = [
     "extract_documents_flagship",
@@ -64,12 +92,15 @@ def main() -> None:
         timings[name] = round(best, 3)
         cache.release_all()  # free persisted signature frames between queries
     total = round(sum(timings.values()), 3)
+    control = hardware_control()
     print(json.dumps({
         "metric": "headline query wall time (local[{}])".format(cpus),
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "control_sec": control,
+        "control_ref_sec": CONTROL_REF_SEC,
     }))
     spark.stop()
 

@@ -75,18 +75,41 @@ def quality_features(text: str) -> tuple[int, int, float, float, float]:
 
 def quality_score(text: str) -> float:
     """Scalar quality in [0, 1]: length + shape + punctuation + stopword
-    evidence, damped by the alphanumeric ratio (symbol-soup ⇒ ~0)."""
-    n_chars, n_tokens, mean_len, punct_ratio, stop_ratio = quality_features(text)
-    if n_tokens == 0:
+    evidence, damped by the alphanumeric ratio (symbol-soup ⇒ ~0).
+
+    Computed as an EXACT integer rational and half-up rounded in
+    integer space: every term is a ratio of integer counts, so
+    score = base_num·md / (2500·n_tokens·non_space) with
+    base_num = 2·min(n,500)·nt + {500|250}·nt + {500|250}·nt +
+    500·min(5·stop, nt) and md = min(2·alnum, non_space).  A float
+    pipeline here (the pre-round-4 form) ends in round(double, 6),
+    the cross-engine tie class; the integer spec is mirrored verbatim
+    by the DuckDB oracles (_QUALITY_CASE_SQL).  int64 bound:
+    nt·ns ≤ ~3.6e9 (multi-hundred-KB docs; curation length gates
+    bound inputs far below)."""
+    n = len(text)
+    tokens = _TOKEN_RE.findall(text)
+    nt = len(tokens)
+    if nt == 0:
         return 0.0
-    length_term = min(n_chars / 500.0, 1.0)
-    shape_term = 1.0 if 2.0 <= mean_len <= 12.0 else 0.5
-    punct_term = 1.0 if punct_ratio <= 0.2 else 0.5
-    stop_term = min(stop_ratio / 0.2, 1.0)
-    base = 0.4 * length_term + 0.2 * shape_term + 0.2 * punct_term + 0.2 * stop_term
-    non_space = sum(1 for c in text if not c.isspace())
-    alpha_ratio = (sum(1 for c in text if c.isalnum()) / non_space) if non_space else 0.0
-    return round(base * min(2.0 * alpha_ratio, 1.0), 6)
+    ns = sum(1 for c in text if not c.isspace())
+    if ns == 0:
+        return 0.0
+    sum_len = sum(len(t) for t in tokens)
+    punct = sum(1 for c in text if c in _PUNCT)
+    stop = sum(
+        1 for t in tokens if t.lower().strip("".join(_PUNCT)) in _STOPWORDS
+    )
+    alnum = sum(1 for c in text if c.isalnum())
+    base_num = (
+        2 * min(n, 500) * nt
+        + (500 if 2 * nt <= sum_len <= 12 * nt else 250) * nt
+        + (500 if 5 * punct <= n else 250) * nt
+        + 500 * min(5 * stop, nt)
+    )
+    num = base_num * min(2 * alnum, ns)
+    den = 2500 * nt * ns
+    return (10**6 * (num // den) + (2 * 10**6 * (num % den) + den) // (2 * den)) / 1e6
 
 
 # --- token counting ---------------------------------------------------------

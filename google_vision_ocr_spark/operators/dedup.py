@@ -366,10 +366,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return inter.select(
-        "id_a", "id_b",
-        (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    # integer-exact threshold (ppm compare) and 6-dp half-up jaccard —
+    # round(double, 6) of the exact rational common/union is the
+    # cross-engine tie class (see functions/exact.py)
+    from ..functions.exact import halfup_ratio, ppm
+
+    union = "(na + nb - common)"
+    return inter.filter(
+        F.col("common") * F.lit(1_000_000)
+        >= F.lit(ppm(threshold)) * (F.col("na") + F.col("nb") - F.col("common"))
+    ).select(
+        "id_a",
+        "id_b",
+        halfup_ratio("common", union, 6).alias("jaccard"),
+    )
 
 
 def duplicate_token_windows(

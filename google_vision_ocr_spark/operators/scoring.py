@@ -80,17 +80,36 @@ def unigram_logprob_scores(
 ) -> DataFrame:
     """``(id, n_words, avg_neg_logprob)`` per document (docs with no
     words are dropped, matching the exploded-join shape)."""
+    from ..functions.exact import halfup_ratio
+
     vocab, total = train_unigram(docs, text_col, vocab_size)
+    # per-word -logprob quantized to exact micro-units BEFORE the sum
+    # (the bm25 pattern): the per-group float avg is order-dependent,
+    # an integer sum is not, and the final 6-dp avg is integer half-up
     scored = (
         _exploded_words(docs, id_col, text_col)
         .join(F.broadcast(vocab), "word", "left")
         .select(
             F.col(id_col),
-            (-F.log(F.coalesce(F.col("cnt"), F.lit(1)) / F.lit(float(total))))
-            .alias("__nlp"),
+            F.round(
+                -F.log(F.coalesce(F.col("cnt"), F.lit(1)) / F.lit(float(total)))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("__nlp_u"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.round(F.avg("__nlp"), 6).alias("avg_neg_logprob"),
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nlp_u").alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            halfup_ratio("__s", "1000000 * n_words", 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
     )
