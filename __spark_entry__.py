@@ -2142,6 +2142,60 @@ def _scd2_user_state(spark, sf_dir):
     return type2_history(_t(spark, sf_dir, "events"))
 
 
+def _cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the corpus's heavy
+    words (exact count ≥ 50), reported beside the exact counts.  The
+    sketch is a FIXED-SIZE (4×256) mergeable counter table — the only
+    corpus-scale pass reduces to it with map-side partial aggregation,
+    and estimation broadcasts it — so the shape survives 10^12 rows
+    where an exact word dictionary would not.  md5-derived row hashes
+    make every counter ANSI-SQL-replayable: the oracle rebuilds the
+    sketch AND the estimates, so a single hash/bucket drift anywhere
+    fails the value hash (est ≥ true by construction; equality unless
+    buckets collide)."""
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+    from google_vision_ocr_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.expr(WORDS_EXPR.format(col="text"))).alias("word")
+    )
+    sketch = count_min_build(words, "word", depth=4, width=256)
+    truth = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .filter(F.col("true_cnt") >= 50)
+    )
+    est = count_min_estimate(
+        sketch, truth.select("word"), "word", depth=4, width=256
+    )
+    return truth.join(est, "word").select("word", "true_cnt", "cms_est")
+
+
+def _host_triangles(spark, sf_dir):
+    """Per-host triangle counts over the same deterministic host-link
+    graph as host_pagerank — the graph-cohesion metric (spam-farm /
+    link-ring detection reads off dense triangles).  Oriented
+    two-path join + closing-edge semi-join: two equi-join shuffles,
+    each triangle generated exactly once (operators/components.py:
+    triangle_counts); the oracle replays edges, orientation, joins."""
+    from google_vision_ocr_spark.operators.components import triangle_counts
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    dst = F.concat(
+        F.lit("src"),
+        (F.expr("(doc_id div 20) * 13 + doc_id * 3 + 5") % 20).cast("string"),
+    )
+    edges = (
+        d.select(F.col("source").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return triangle_counts(edges)
+
+
 def _host_pagerank(spark, sf_dir):
     """PageRank over a deterministic host-link graph (each document
     links its source host to a doc_id-derived host), 3 iterations in
@@ -2782,6 +2836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_excess_stock": _tpch_q20,
         "tpch_q21_waiting_suppliers": _tpch_q21,
         "ann_ivf_pruned_probe": _ann_ivf_pruned,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "host_triangles": _host_triangles,
         "bpe_train_merges": _bpe_merges,
         "bpe_encoded_tokens": _bpe_encoded_tokens,
         "inverted_postings": _inverted_postings,
@@ -2813,10 +2869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_anomalies": _events_anomalies,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search": _bm25_search,
-        "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
-        "duplicate_token_windows": _duplicate_windows,
         # --- outside the window (driver-checked in earlier rounds, or
         # verified by the local gate at sf0.001/0.01/0.1) ------------
+        "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
+        "duplicate_token_windows": _duplicate_windows,
         "f7_tagged_projection": _f7_tagged_projection,
         "j1_equi_join": _j1_equi_join,
         "j3_anti_join": _j3_anti_join,
@@ -4787,6 +4843,69 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                     ORDER BY tfidf DESC, tf DESC, term) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "cms_heavy_hitters": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                             '\s+'),
+                              t -> t <> '')) AS word
+                FROM documents
+            ), fan AS (
+                SELECT word, unnest(range(0, 4)) AS row FROM w
+            ), hashed AS (
+                SELECT row,
+                       (list_reduce(list_transform(generate_series(1, 8),
+                           i -> strpos('0123456789abcdef',
+                                substr(md5(CAST(row AS VARCHAR) || ':'
+                                           || CAST(word AS VARCHAR)),
+                                       i, 1)) - 1),
+                           (a, b) -> a * 16 + b) % 256) AS bucket
+                FROM fan
+            ), sk AS (
+                SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+                FROM hashed GROUP BY row, bucket
+            ), truth AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS true_cnt
+                FROM w GROUP BY word HAVING count(*) >= 50
+            ), probes AS (
+                SELECT word, true_cnt, unnest(range(0, 4)) AS row
+                FROM truth
+            ), pb AS (
+                SELECT word, true_cnt, row,
+                       (list_reduce(list_transform(generate_series(1, 8),
+                           i -> strpos('0123456789abcdef',
+                                substr(md5(CAST(row AS VARCHAR) || ':'
+                                           || CAST(word AS VARCHAR)),
+                                       i, 1)) - 1),
+                           (a, b) -> a * 16 + b) % 256) AS bucket
+                FROM probes
+            )
+            SELECT word, true_cnt,
+                   CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+            FROM pb LEFT JOIN sk USING (row, bucket)
+            GROUP BY word, true_cnt
+        """,
+        "host_triangles": """
+            WITH e AS (
+                SELECT source AS src,
+                       'src' || CAST(((doc_id // 20) * 13 + doc_id * 3 + 5)
+                                     % 20 AS VARCHAR) AS dst
+                FROM documents WHERE doc_id % 7 = 0
+            ), und AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM e WHERE src <> dst
+            ), tp AS (
+                SELECT e1.a, e1.b, e2.b AS c
+                FROM und e1 JOIN und e2 ON e1.b = e2.a
+            ), tri AS (
+                SELECT a, b, c FROM tp
+                WHERE EXISTS (SELECT 1 FROM und u
+                              WHERE u.a = tp.a AND u.b = tp.c)
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
         """,
         "host_pagerank": """
             WITH edges AS (

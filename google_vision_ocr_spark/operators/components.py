@@ -179,3 +179,41 @@ def connected_components_star(
             F.coalesce(F.col("b"), F.col("n")).alias("component"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected view of ``edges``.
+
+    The compact-oriented join strategy (the standard distributed
+    formulation, cf. Suri & Vassilvitskii 2011): canonicalize each
+    edge to ``a < b`` (kills direction and duplicates), build oriented
+    two-paths a→b→c (which enforces a < b < c, so every triangle is
+    generated exactly once), and keep the paths whose closing edge
+    (a, c) exists via a LEFT SEMI join.  Two equi-join shuffles total,
+    no windows; orientation by node order is what keeps the join
+    fan-out bounded on skewed (high-degree) nodes — each triangle has
+    exactly one generating vertex.  Output: ``(node, n_triangles)``
+    for every node in at least one triangle."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    two_paths = und.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tris = two_paths.join(
+        closing,
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
+        "left_semi",
+    )
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

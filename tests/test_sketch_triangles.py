@@ -1,0 +1,80 @@
+"""Count-min sketch and triangle-counting operator contracts."""
+
+from pyspark.sql import functions as F
+
+from google_vision_ocr_spark.operators.components import triangle_counts
+from google_vision_ocr_spark.operators.sketch import (
+    count_min_build,
+    count_min_estimate,
+)
+
+
+def _words(spark, items):
+    return spark.createDataFrame([(w,) for w in items], ["word"])
+
+
+def test_cms_never_underestimates(spark):
+    corpus = ["a"] * 40 + ["b"] * 7 + ["c"] * 1 + ["d"] * 13
+    df = _words(spark, corpus)
+    sk = count_min_build(df, "word", depth=4, width=64)
+    keys = _words(spark, ["a", "b", "c", "d"])
+    est = {
+        r["word"]: r["cms_est"]
+        for r in count_min_estimate(sk, keys, "word", depth=4, width=64).collect()
+    }
+    truth = {"a": 40, "b": 7, "c": 1, "d": 13}
+    for w, t in truth.items():
+        assert est[w] >= t, (w, est[w], t)
+    # with 4 distinct keys in 4x64 counters, collisions are absent and
+    # the estimates are exact
+    assert est == truth
+
+
+def test_cms_unknown_key_estimates_zero_or_collision(spark):
+    df = _words(spark, ["a"] * 5)
+    sk = count_min_build(df, "word", depth=4, width=64)
+    est = count_min_estimate(
+        sk, _words(spark, ["zzz"]), "word", depth=4, width=64
+    ).collect()[0]
+    assert 0 <= est["cms_est"] <= 5
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    """sketch(A) + sketch(B) == sketch(A ∪ B) counter-for-counter —
+    the mergeability that lets per-segment sketches roll up."""
+    a = _words(spark, ["x"] * 3 + ["y"] * 2)
+    b = _words(spark, ["y"] * 4 + ["z"] * 1)
+    both = a.unionByName(b)
+    merged = (
+        count_min_build(a, "word", depth=4, width=32)
+        .unionByName(count_min_build(b, "word", depth=4, width=32))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = count_min_build(both, "word", depth=4, width=32)
+    m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    d = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert m == d
+
+
+def test_triangles_known_graph(spark):
+    # K4 minus one edge: nodes 1-4, edges of K4 except (3,4):
+    # triangles (1,2,3) and (1,2,4) — nodes 1,2 in two, 3,4 in one
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangles_direction_and_duplicates_ignored(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 1), (2, 3), (3, 2), (5, 5)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_no_triangle_graph_is_empty(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert triangle_counts(edges).count() == 0
