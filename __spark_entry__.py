@@ -812,6 +812,25 @@ def _decontamination(spark, sf_dir):
     return contaminated_ids(d, bench, k=8)
 
 
+def _decontamination_bloom(spark, sf_dir):
+    """The decontamination audit through the bloom-prefilter path:
+    a 16 KB bit_or-folded bloom over the eval shingles prunes ~all
+    clean shingles scan-side; only the survivors reach the exact
+    broadcast semi-join, so false positives can't leak and the output
+    is row-identical to `decontamination` — whose oracle this entry
+    shares verbatim.  The explicit runtime-filter/semi-join-reduction
+    shape for eval sets too large to broadcast exactly."""
+    from google_vision_ocr_spark.operators.decontaminate import (
+        contaminated_ids_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return contaminated_ids_bloom(d, bench, k=8)
+
+
 def _domain_blocklist_filter(spark, sf_dir):
     """Domain blocklist gate: planted per-source URLs (distinct
     registrable domains, unlike the shared example.org of
@@ -2838,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned_probe": _ann_ivf_pruned,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "host_triangles": _host_triangles,
+        "decontamination_bloom": _decontamination_bloom,
         "bpe_train_merges": _bpe_merges,
         "bpe_encoded_tokens": _bpe_encoded_tokens,
         "inverted_postings": _inverted_postings,
@@ -2868,9 +2888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_moments": _events_moments,
         "events_value_anomalies": _events_anomalies,
         "tfidf_top_terms": _tfidf_top_terms,
-        "bm25_search": _bm25_search,
         # --- outside the window (driver-checked in earlier rounds, or
         # verified by the local gate at sf0.001/0.01/0.1) ------------
+        "bm25_search": _bm25_search,
         "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
         "duplicate_token_windows": _duplicate_windows,
         "f7_tagged_projection": _f7_tagged_projection,
@@ -3317,6 +3337,9 @@ def oracle_sql() -> dict[str, str]:
     # cell-partitioned physical layout — identical algorithm, so it
     # shares ann_ivf_cosine's oracle verbatim
     sql["ann_ivf_pruned_probe"] = sql["ann_ivf_cosine"]
+    # bloom prefilter + exact confirm is row-identical to the exact
+    # decontamination audit — same oracle by construction
+    sql["decontamination_bloom"] = sql["decontamination"]
     return sql
 
 

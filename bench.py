@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: was throttled DURING this bench run — read the query timings
 #: accordingly (this box shows episodic 2-4x storms and sustained
 #: evening throttle windows; see BENCH/BASELINE.md).
-CONTROL_REF_SEC = 1.48
+CONTROL_REF_SEC = 1.37
 
 
 def _control_work(n: int) -> int:

@@ -106,3 +106,88 @@ def contamination_fraction(
              / F.col("n_shingles").cast("double")).alias("contaminated_frac"),
         )
     )
+
+
+def contaminated_ids_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Same OUTPUT as :func:`contaminated_ids`, bloom-prefiltered.
+
+    At 10^12 documents the eval shingle set can reach 10^8+ entries —
+    an exact broadcast hash set costs GBs per executor; a bloom filter
+    is a fixed ``n_bits/8`` bytes (16 KB here).  Build: each benchmark
+    shingle sets ``n_hashes`` bits (seeded ``xxhash64`` probes), the
+    bit words fold with a map-side-combinable ``bit_or`` aggregation
+    (order-independent, so partitioning cannot change the filter), and
+    the ≤ ``n_bits/64``-row word table collects to one array literal —
+    the explicit version of the runtime-filter shape Spark\'s
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects into joins.
+    Probe: a scan-side pure-expression membership test prunes ~all
+    clean shingles before any shuffle; only the surviving candidates
+    reach the exact broadcast semi-join, so bloom false positives
+    CANNOT leak into the output — the result is row-identical to the
+    exact operator, which is why the gate entry shares its oracle
+    verbatim."""
+    corp = _exploded_shingles(corpus, id_col, text_col, k)
+    bench = (
+        _exploded_shingles(
+            benchmark.select(F.col(bench_text_col).alias("text")).withColumn(
+                "__bid", F.lit(0)
+            ),
+            "__bid",
+            "text",
+            k,
+        )
+        .select("shingle")
+        .distinct()
+    )
+
+    def probe(col, i):
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+
+    sets = None
+    for i in range(n_hashes):
+        part = bench.select(probe(F.col("shingle"), i).alias("__pos"))
+        sets = part if sets is None else sets.unionByName(part)
+    words = (
+        sets.select(
+            (F.col("__pos") / 64).cast("bigint").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pmod(__pos, 64) AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__bit)").alias("__word"))
+        .collect()
+    )
+    bits = [0] * (n_bits // 64)
+    for r in words:
+        bits[int(r["__w"])] = int(r["__word"])
+    bits_lit = F.array(*[F.lit(b).cast("bigint") for b in bits])
+    cond = None
+    for i in range(n_hashes):
+        pos = probe(F.col("shingle"), i)
+        pos_sql = f"pmod(xxhash64(shingle, {i}), {n_bits})"
+        hit = F.element_at(
+            bits_lit, (pos / 64).cast("int") + 1
+        ).bitwiseAND(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pmod({pos_sql}, 64) AS INT))"
+            )
+        ) != 0
+        cond = hit if cond is None else (cond & hit)
+    cand = corp.filter(cond)
+    return (
+        cand.join(F.broadcast(bench), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
