@@ -23,8 +23,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+#: schema memo per (sf_dir, table) — what a catalog/metastore provides
+#: in a real deployment: with an explicit schema the reader skips the
+#: per-query footer-inference pass (measured ~0.2-0.3 s per DataFrame
+#: construction on this VM, paid once per table instead)
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 # round(p/q, n) by INTEGER half-up — the tie-proof recipe for every
