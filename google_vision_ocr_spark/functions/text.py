@@ -57,7 +57,21 @@ _STOPWORDS = frozenset(
     "this that from not have has had but they you he she we i".split()
 )
 _PUNCT = frozenset(".,!?;:'\"()[]{}-")
-_TOKEN_RE = re.compile(r"\S+")
+# re.ASCII is load-bearing: the DuckDB oracles replay tokenization
+# with RE2, whose \s / \S are ASCII-only — Python's Unicode \S would
+# swallow NBSP/ideographic spaces and split the engines on real web
+# text (the same pin normalized_text carries)
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+_ASCII_WS = frozenset(" \t\n\r\f\v")
+
+
+def _is_alnum_sql(c: str) -> bool:
+    """Mirror of RE2 ``[\\pL\\pN]`` (Unicode letter or number) — what
+    the quality oracle counts; Python's ``str.isalnum`` agrees on all
+    of L*/N* but the category test keeps the spec single-sourced."""
+    import unicodedata
+
+    return unicodedata.category(c)[0] in ("L", "N")
 
 
 def quality_features(text: str) -> tuple[int, int, float, float, float]:
@@ -92,7 +106,8 @@ def quality_score(text: str) -> float:
     nt = len(tokens)
     if nt == 0:
         return 0.0
-    ns = sum(1 for c in text if not c.isspace())
+    # ASCII whitespace only + \pL\pN alnum — the oracle's RE2 counts
+    ns = sum(1 for c in text if c not in _ASCII_WS)
     if ns == 0:
         return 0.0
     sum_len = sum(len(t) for t in tokens)
@@ -100,7 +115,7 @@ def quality_score(text: str) -> float:
     stop = sum(
         1 for t in tokens if t.lower().strip("".join(_PUNCT)) in _STOPWORDS
     )
-    alnum = sum(1 for c in text if c.isalnum())
+    alnum = sum(1 for c in text if _is_alnum_sql(c))
     base_num = (
         2 * min(n, 500) * nt
         + (500 if 2 * nt <= sum_len <= 12 * nt else 250) * nt

@@ -301,3 +301,49 @@ def test_blocklist_filter_heuristic_path(spark):
     block = spark.createDataFrame([("bad.net",)], "domain string")
     out = filter_blocklisted_domains(docs, block)
     assert [r.doc_id for r in out.collect()] == [0]
+
+
+def test_quality_python_matches_duckdb_on_unicode_adversaries():
+    """The Python quality_score and the DuckDB oracle fragment must
+    agree on Unicode-adversarial text: NBSP / ideographic space
+    (Python \\S is pinned to re.ASCII because RE2's is), superscript
+    digits and CJK (the \\pL\\pN alnum mirror), decomposed accents,
+    and plain controls."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from google_vision_ocr_spark.functions.text import quality_score
+
+    texts = [
+        "plain ascii with the stopwords and a dog",
+        "nbsp separated words here and there",
+        "ideographic　space　split and the rest",
+        "superscript x² plus ⅔ fraction and it",
+        "cjk 中文文本 mixed with the english words",
+        "decomposed café and the accent",
+        "ctrl\x01chars\x02embedded and the rest",
+        "   ",
+        "!!! ??? ...",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    sql = f"""
+        WITH feat AS (
+            SELECT doc_id, {entry_mod._quality_feature_sql('text')}
+            FROM d
+        ), f2 AS (
+            SELECT doc_id, n_chars, punct, non_space, alnum,
+            {entry_mod._TOKEN_STATS_SQL}
+            FROM feat
+        )
+        SELECT doc_id, {entry_mod._QUALITY_CASE_SQL} AS quality
+        FROM f2 ORDER BY doc_id
+    """
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        assert got[i] == quality_score(t), (i, t, got[i], quality_score(t))
