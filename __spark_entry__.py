@@ -2357,13 +2357,17 @@ def _events_moments(spark, sf_dir):
             " (20000 * __s1 + n_events) div (2 * n_events)"
             " ELSE -((-20000 * __s1 + n_events) div (2 * n_events)) END"
         ).alias("__mean_u"),
+        # n = 1 ⇒ den = 0: sample variance undefined — NULL, not an
+        # ANSI divide-by-zero (the CASE keeps the div un-evaluated)
         F.expr(
-            "100 * (__num div __den)"
-            " + (200 * (__num % __den) + __den) div (2 * __den)"
+            "CASE WHEN __den = 0 THEN NULL ELSE"
+            " 100 * (__num div __den)"
+            " + (200 * (__num % __den) + __den) div (2 * __den) END"
         ).alias("__var_u"),
         F.expr(
-            "CAST(floor(sqrt(CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE))"
-            " * 10000.0 + 0.5) AS BIGINT)"
+            "CASE WHEN __den = 0 THEN NULL ELSE"
+            " CAST(floor(sqrt(CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE))"
+            " * 10000.0 + 0.5) AS BIGINT) END"
         ).alias("__m0"),
     )
     four_t = "CAST(__num AS DECIMAL(38,0)) * 400000000"
@@ -4826,12 +4830,15 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                             (20000 * s1 + n_events) // (2 * n_events)
                             ELSE -((-20000 * s1 + n_events)
                                    // (2 * n_events)) END AS mean_u,
-                       100 * (num // den)
+                       CASE WHEN den = 0 THEN NULL ELSE
+                           100 * (num // den)
                            + (200 * (num % den) + den) // (2 * den)
-                           AS var_u,
-                       CAST(floor(sqrt(CAST(num AS DOUBLE)
-                                       / CAST(den AS DOUBLE)) * 10000.0
-                                  + 0.5) AS BIGINT) AS m0
+                       END AS var_u,
+                       CASE WHEN den = 0 THEN NULL ELSE
+                           CAST(floor(sqrt(CAST(num AS DOUBLE)
+                                           / CAST(den AS DOUBLE)) * 10000.0
+                                      + 0.5) AS BIGINT)
+                       END AS m0
                 FROM x
             )
             SELECT event_type, n_events,

@@ -4,7 +4,17 @@ Hypothesis drives randomized inputs through the Spark operators and
 compares against direct sequential implementations — the class of test
 that catches tie-handling, empty-group, and boundary bugs the
 example-based suites miss.  Example counts are kept small because each
-example is a Spark job."""
+example is a Spark job.
+
+Deep-sweep invocation (run before each round lands):
+
+    SPARK_GRAFT_HYP_EXAMPLES=300 python -m pytest \\
+        tests/test_property_based.py -q --hypothesis-seed=<round#>
+
+derandomize stays False and the seed ROTATES per round (the round
+number is a fine seed) so successive rounds walk different corners of
+the input space — a fixed seed would re-test the same examples
+forever.  The r3 moments half-tie was found exactly this way."""
 
 import os
 
@@ -553,3 +563,25 @@ def test_postings_merge_equals_full_build(spark, doc_words, split_at):
         (r.term, r.df, r.postings) for r in merge_postings(a, b).collect()
     }
     assert merged == full
+
+
+def test_moments_singleton_group_yields_null_variance(spark):
+    """n = 1 ⇒ sample variance undefined: NULL var/std (not an ANSI
+    divide-by-zero error), mean still defined."""
+    import __spark_entry__ as entry_mod
+
+    df = spark.createDataFrame(
+        [(0, "solo", 1.23), (1, "pair", 1.0), (2, "pair", 2.0)],
+        "event_id bigint, event_type string, value double",
+    )
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in entry_mod.queries()["events_value_moments"](spark, d).collect()
+        }
+    assert got["solo"].mean_value == 1.23
+    assert got["solo"].var_value is None
+    assert got["solo"].std_value is None
+    assert got["pair"].var_value is not None
