@@ -294,3 +294,44 @@ def test_o2_w2_no_window_on_bare_lang(spark):
         assert specs, name
         for spec in specs:
             assert "__b" in spec, (name, spec)
+
+
+def test_tpch_q9_star_broadcasts_every_dim(spark):
+    """Q9's 6-table star must broadcast every dimension (part,
+    partsupp, supplier, nation) around a single lineitem scan with
+    exactly one aggregation exchange — at 100 TB the fact table is
+    the only side that may shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q9_product_profit"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") >= 5
+    assert "SortMergeJoin" not in plan
+    # one exchange for the final groupBy (plus nothing else
+    # repartitioning the fact rows)
+    non_broadcast_exchanges = plan.count("Exchange hashpartitioning")
+    assert non_broadcast_exchanges == 1, plan
+
+
+def test_tpch_q21_uses_semi_and_anti_joins(spark):
+    """The EXISTS / NOT-EXISTS chain must plan as one LeftSemi and one
+    LeftAnti join — never as row-multiplying inner joins + distinct."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q21_waiting_suppliers"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_cms_build_is_fixed_size_aggregation(spark):
+    """The count-min build reduces the corpus to depth x width
+    counters through ONE hash aggregation with map-side partials —
+    no join, no window; the corpus-scale data crosses the wire only
+    as partial counter tables."""
+    from google_vision_ocr_spark.operators.sketch import count_min_build
+
+    df = spark.createDataFrame([(f"w{i % 7}",) for i in range(50)], ["word"])
+    plan = _plan(count_min_build(df, "word", depth=4, width=64))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.lower().count("exchange") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
