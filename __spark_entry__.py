@@ -2207,6 +2207,51 @@ def _cms_heavy_hitters(spark, sf_dir):
     return truth.join(est, "word").select("word", "true_cnt", "cms_est")
 
 
+def _cms_segment_merge(spark, sf_dir):
+    """Incremental sketch maintenance, gate-proven: build per-segment
+    count-min sketches over two disjoint halves of the corpus
+    (doc_id parity), merge them by counter addition, and hash-compare
+    against the ORACLE OF THE FULL BUILD — the same merge==rebuild
+    contract the postings segment merge carries.  At 10^12 docs this
+    is how daily sketches roll up without rescanning history."""
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+    from google_vision_ocr_spark.operators.sketch import (
+        count_min_build,
+        count_min_merge,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = lambda df: df.select(  # noqa: E731
+        F.explode(F.expr(WORDS_EXPR.format(col="text"))).alias("word")
+    )
+    a = count_min_build(words(d.filter(F.col("doc_id") % 2 == 0)), "word")
+    b = count_min_build(words(d.filter(F.col("doc_id") % 2 == 1)), "word")
+    return count_min_merge([a, b])
+
+
+def _distinct_words_linear_counting(spark, sf_dir):
+    """Fixed-size distinct estimation: the corpus's word occurrences
+    fold into a 4096-bit occupancy bitmap (map-side-combinable bit_or
+    over 64 words of 64 bits), V occupied buckets give the linear-
+    counting estimate −m·ln((m−V)/m).  The oracle re-derives V as
+    COUNT(DISTINCT md5-bucket) — set-equivalent to the bitmap — and
+    replays the estimate; the estimate ships as exact 1e-4 integer
+    units (single ln+round expression, identical in both engines).
+    The SQL-replayable stand-in for approx_count_distinct's opaque
+    HLL registers (profile_columns documents that as the 100 TB
+    default)."""
+    from google_vision_ocr_spark.operators.scoring import WORDS_EXPR
+    from google_vision_ocr_spark.operators.sketch import (
+        distinct_linear_counting,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.expr(WORDS_EXPR.format(col="text"))).alias("word")
+    )
+    return distinct_linear_counting(words, "word", m=4096)
+
+
 def _host_triangles(spark, sf_dir):
     """Per-host triangle counts over the same deterministic host-link
     graph as host_pagerank — the graph-cohesion metric (spam-farm /
@@ -2875,6 +2920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "host_triangles": _host_triangles,
         "decontamination_bloom": _decontamination_bloom,
+        "cms_segment_merge": _cms_segment_merge,
+        "distinct_words_linear_counting": _distinct_words_linear_counting,
         "bpe_train_merges": _bpe_merges,
         "bpe_encoded_tokens": _bpe_encoded_tokens,
         "inverted_postings": _inverted_postings,
@@ -2901,12 +2948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": _asof_purchase_view,
         "scd2_user_state": _scd2_user_state,
         "snapshot_diff_cdc": _snapshot_diff_cdc,
-        "merge_upsert_snapshot": _merge_upsert_snapshot,
         "events_value_moments": _events_moments,
         "events_value_anomalies": _events_anomalies,
-        "tfidf_top_terms": _tfidf_top_terms,
         # --- outside the window (driver-checked in earlier rounds, or
         # verified by the local gate at sf0.001/0.01/0.1) ------------
+        "merge_upsert_snapshot": _merge_upsert_snapshot,
+        "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search": _bm25_search,
         "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
         "duplicate_token_windows": _duplicate_windows,
@@ -4927,6 +4974,50 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                    CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
             FROM pb LEFT JOIN sk USING (row, bucket)
             GROUP BY word, true_cnt
+        """,
+        # the merge query's oracle is the FULL BUILD's sketch — the
+        # gate thereby proves merge(build(A), build(B)) == build(A∪B)
+        "cms_segment_merge": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                             '\s+'),
+                              t -> t <> '')) AS word
+                FROM documents
+            ), fan AS (
+                SELECT word, unnest(range(0, 4)) AS row FROM w
+            ), hashed AS (
+                SELECT row,
+                       (list_reduce(list_transform(generate_series(1, 8),
+                           i -> strpos('0123456789abcdef',
+                                substr(md5(CAST(row AS VARCHAR) || ':'
+                                           || CAST(word AS VARCHAR)),
+                                       i, 1)) - 1),
+                           (a, b) -> a * 16 + b) % 256) AS bucket
+                FROM fan
+            )
+            SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM hashed GROUP BY row, bucket
+        """,
+        "distinct_words_linear_counting": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                             '\s+'),
+                              t -> t <> '')) AS word
+                FROM documents
+            ), occ AS (
+                SELECT CAST(count(DISTINCT
+                           list_reduce(list_transform(generate_series(1, 8),
+                               i -> strpos('0123456789abcdef',
+                                    substr(md5(word), i, 1)) - 1),
+                               (a, b) -> a * 16 + b) % 4096)
+                           AS BIGINT) AS occupied
+                FROM w
+            )
+            SELECT CAST(4096 AS BIGINT) AS n_buckets, occupied,
+                   CAST(round(-4096.0 * ln(CAST(4096 - occupied AS DOUBLE)
+                                           / 4096.0) * 10000.0) AS BIGINT)
+                       AS estimate_e4
+            FROM occ
         """,
         "host_triangles": """
             WITH e AS (

@@ -100,3 +100,70 @@ def count_min_estimate(
             .alias("cms_est")
         )
     )
+
+
+def count_min_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge per-segment sketches by counter addition — the property
+    that lets per-day / per-shard sketches roll up without rescanning
+    any corpus segment.  Gate-proven equal to a full rebuild
+    (cms_segment_merge shares the full build's oracle)."""
+    out = None
+    for s in sketches:
+        out = s if out is None else out.unionByName(s)
+    from pyspark.sql import functions as F
+
+    return (
+        out.groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def distinct_linear_counting(
+    df: DataFrame, key_col: str, m: int = 4096
+) -> DataFrame:
+    """Linear-counting distinct estimation (Whang et al. 1990): hash
+    each key into an ``m``-bit bitmap, count occupied buckets V, and
+    estimate ``n ≈ -m·ln((m-V)/m)``.
+
+    The scale story: the bitmap is a FIXED m/64-word table folded with
+    a map-side-combinable bit_or — the corpus reduces to 64·m bits on
+    the wire regardless of row count, and per-segment bitmaps OR
+    together (mergeable like the CMS).  Spark's approx_count_distinct
+    (HLL) is the production default; this variant exists because every
+    step — the md5 bucket, the occupancy count, the estimate — is
+    ANSI-SQL-replayable, so the sketch sits under the DuckDB hash gate
+    where an opaque HLL register blob cannot.  Output: one row
+    ``(n_buckets, occupied, estimate_e4)`` with the estimate in exact
+    1e-4 units (single ln+round expression, identical both engines)."""
+    from pyspark.sql import functions as F
+
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    )
+    words = (
+        df.select(pos.alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("bigint").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__bit)").alias("__word"))
+    )
+    occ = words.agg(
+        F.sum(F.expr("bit_count(__word)")).cast("bigint").alias("occupied")
+    )
+    return occ.select(
+        F.lit(m).cast("bigint").alias("n_buckets"),
+        "occupied",
+        F.expr(
+            f"CAST(round(-{m}.0D * ln(CAST({m} - occupied AS DOUBLE)"
+            f" / {m}.0D) * 10000.0) AS BIGINT)"
+        ).alias("estimate_e4"),
+    )

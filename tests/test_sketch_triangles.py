@@ -78,3 +78,34 @@ def test_triangles_direction_and_duplicates_ignored(spark):
 def test_triangles_no_triangle_graph_is_empty(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert triangle_counts(edges).count() == 0
+
+
+def test_linear_counting_estimate_tracks_true_distinct(spark):
+    from google_vision_ocr_spark.operators.sketch import (
+        distinct_linear_counting,
+    )
+
+    df = _words(spark, [f"w{i % 200}" for i in range(5000)])
+    row = distinct_linear_counting(df, "word", m=4096).collect()[0]
+    # load factor 200/4096 ≈ 5%: the estimate sits within a few
+    # percent of truth, and occupied <= true distinct
+    assert row["occupied"] <= 200
+    est = row["estimate_e4"] / 1e4
+    assert 180 <= est <= 220, est
+
+
+def test_cms_merge_equals_full_build(spark):
+    from google_vision_ocr_spark.operators.sketch import (
+        count_min_build,
+        count_min_merge,
+    )
+
+    a = _words(spark, ["x"] * 3 + ["y"] * 2)
+    b = _words(spark, ["y"] * 4 + ["z"] * 1)
+    merged = count_min_merge(
+        [count_min_build(a, "word"), count_min_build(b, "word")]
+    )
+    full = count_min_build(a.unionByName(b), "word")
+    m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    f = {(r["row"], r["bucket"]): r["cnt"] for r in full.collect()}
+    assert m == f
