@@ -45,6 +45,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # implementation + rationale in functions/exact.py
 from google_vision_ocr_spark.functions.exact import (  # noqa: E402
     halfup_ratio as _halfup_ratio,
+    halfup_ratio_signed as _halfup_ratio_signed,
+    halfup_ratio_signed_sql as _halfup_ratio_signed_sql,
     halfup_ratio_sql as _halfup_ratio_sql,
 )
 
@@ -191,6 +193,8 @@ def _w2_row_number(spark, sf_dir, n_buckets=32):
     n_buckets scales with cluster parallelism at 100×."""
     d = _t(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("m")).first()["m"]
+    if mx is None:  # empty input: empty result, same schema
+        return spark.createDataFrame([], "doc_id bigint, lang string, rn bigint")
     width = max(1, int(mx) // n_buckets + 1)
     b = d.select(
         "doc_id", "lang", (F.col("doc_id") / width).cast("bigint").alias("__b")
@@ -202,16 +206,24 @@ def _w2_row_number(spark, sf_dir, n_buckets=32):
         .collect()
     ]
     offsets, acc = [], {}
-    for lang, bk, n in sorted(counts):
+    # None-lang groups sort after strings (a NULL lang row is legal
+    # input; the offset join below matches it via the null-safe key)
+    for lang, bk, n in sorted(counts, key=lambda t: (t[0] is None, t[0] or "", t[1])):
         offsets.append((lang, bk, acc.get(lang, 0)))
         acc[lang] = acc.get(lang, 0) + n
     off = spark.createDataFrame(
         offsets, "lang string, __b bigint, __off bigint"
-    )
+    ).withColumnsRenamed({"lang": "__ol", "__b": "__ob"})
     w = Window.partitionBy("lang", "__b").orderBy("doc_id")
     return (
         b.withColumn("__rn", F.row_number().over(w).cast("bigint"))
-        .join(F.broadcast(off), ["lang", "__b"])
+        # null-safe on lang: a NULL-lang group must find its offset
+        # (a plain equality join would silently drop those rows)
+        .join(
+            F.broadcast(off),
+            F.col("lang").eqNullSafe(F.col("__ol"))
+            & (F.col("__b") == F.col("__ob")),
+        )
         .select("doc_id", "lang", (F.col("__off") + F.col("__rn")).alias("rn"))
     )
 
@@ -304,7 +316,7 @@ def _text_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")).cast("bigint").alias("ws_tokens"),
     )
 
 
@@ -1907,7 +1919,10 @@ def _events_user_lag(spark, sf_dir):
         F.count(F.lit(1)).over(wavg).alias("__cn"),
     ).select(
         "event_id", "user_id", "delta_s",
-        _halfup_ratio("__cs", "100 * __cn", 4).alias("value_ma3"),
+        # signed: a windowed cent-sum goes negative on refund-shaped
+        # values, where truncating div (Spark) and flooring // (DuckDB)
+        # would round opposite ways
+        _halfup_ratio_signed("__cs", "100 * __cn", 4).alias("value_ma3"),
     )
 
 
@@ -3103,7 +3118,8 @@ _QUALITY_CASE_SQL = f"""
 
 def _quality_feature_sql(t: str) -> str:
     """Feature columns (n_chars, toks, punct, non_space, alnum) over a
-    text expression ``t``; mirror of functions/text.py::quality_features."""
+    text expression ``t``; the feature half of the exact integer
+    quality spec (functions/text.py::quality_score mirrors it)."""
     return f"""
                 length({t}) AS n_chars,
                 regexp_extract_all({t}, '\\S+') AS toks,
@@ -5014,9 +5030,11 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                 FROM w
             )
             SELECT CAST(4096 AS BIGINT) AS n_buckets, occupied,
-                   CAST(round(-4096.0 * ln(CAST(4096 - occupied AS DOUBLE)
-                                           / 4096.0) * 10000.0) AS BIGINT)
-                       AS estimate_e4
+                   CASE WHEN occupied >= 4096 THEN NULL ELSE
+                       CAST(round(-4096.0 * ln(CAST(4096 - occupied
+                                                    AS DOUBLE)
+                                               / 4096.0) * 10000.0)
+                            AS BIGINT) END AS estimate_e4
             FROM occ
         """,
         "host_triangles": """
@@ -5452,7 +5470,8 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             )
             SELECT event_id, user_id, delta_s,
-                   {_halfup_ratio_sql("cs", "100 * cn", 4)} AS value_ma3
+                   {_halfup_ratio_signed_sql("cs", "100 * cn", 4)}
+                       AS value_ma3
             FROM b
         """,
         "events_props_json": """

@@ -36,7 +36,8 @@ def redact_pii(col: Column) -> Column:
 
 def clean_whitespace(col: Column) -> Column:
     """Collapse runs of whitespace to single spaces and trim."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    # explicit RE2-whitespace class (Java \s adds \x0B; RE2's does not)
+    return F.trim(F.regexp_replace(col, r"[ \t\n\f\r]+", " "))
 
 
 def with_redacted_text(

@@ -57,12 +57,13 @@ _STOPWORDS = frozenset(
     "this that from not have has had but they you he she we i".split()
 )
 _PUNCT = frozenset(".,!?;:'\"()[]{}-")
-# re.ASCII is load-bearing: the DuckDB oracles replay tokenization
-# with RE2, whose \s / \S are ASCII-only — Python's Unicode \S would
-# swallow NBSP/ideographic spaces and split the engines on real web
-# text (the same pin normalized_text carries)
-_TOKEN_RE = re.compile(r"\S+", re.ASCII)
-_ASCII_WS = frozenset(" \t\n\r\f\v")
+# The explicit RE2-whitespace class is load-bearing: the DuckDB
+# oracles tokenize with RE2, whose \s is exactly [ \t\n\f\r] — ASCII
+# only (Python's Unicode \S would swallow NBSP/ideographic spaces)
+# AND without \x0B (Python's ASCII \s and Java's \s both include the
+# vertical tab; RE2's does not — verified, and real crawls carry it)
+_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+_ASCII_WS = frozenset(" \t\n\f\r")
 
 
 def _is_alnum_sql(c: str) -> bool:
@@ -72,19 +73,6 @@ def _is_alnum_sql(c: str) -> bool:
     import unicodedata
 
     return unicodedata.category(c)[0] in ("L", "N")
-
-
-def quality_features(text: str) -> tuple[int, int, float, float, float]:
-    """(n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio)."""
-    n_chars = len(text)
-    tokens = _TOKEN_RE.findall(text)
-    n_tokens = len(tokens)
-    mean_len = (sum(len(t) for t in tokens) / n_tokens) if n_tokens else 0.0
-    punct = sum(1 for c in text if c in _PUNCT)
-    punct_ratio = punct / n_chars if n_chars else 0.0
-    stop = sum(1 for t in tokens if t.lower().strip("".join(_PUNCT)) in _STOPWORDS)
-    stop_ratio = stop / n_tokens if n_tokens else 0.0
-    return n_chars, n_tokens, mean_len, punct_ratio, stop_ratio
 
 
 def quality_score(text: str) -> float:
@@ -98,9 +86,9 @@ def quality_score(text: str) -> float:
     500·min(5·stop, nt) and md = min(2·alnum, non_space).  A float
     pipeline here (the pre-round-4 form) ends in round(double, 6),
     the cross-engine tie class; the integer spec is mirrored verbatim
-    by the DuckDB oracles (_QUALITY_CASE_SQL).  int64 bound:
-    nt·ns ≤ ~3.6e9 (multi-hundred-KB docs; curation length gates
-    bound inputs far below)."""
+    by the DuckDB oracles (_QUALITY_CASE_SQL, full-int64-range via the
+    seed-and-correct halfup in functions/exact.py; this Python side is
+    arbitrary-precision)."""
     n = len(text)
     tokens = _TOKEN_RE.findall(text)
     nt = len(tokens)
@@ -131,7 +119,9 @@ def quality_score(text: str) -> float:
 
 # BPE-ish word/number/punctuation split, GPT-2-style but simplified and
 # fully deterministic.
-_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+# explicit RE2-whitespace class in the punctuation arm (the oracle's
+# RE2 \s is [ \t\n\f\r]; Python's \s would also exclude \x0B/NBSP)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^ \t\n\f\rA-Za-z0-9]")
 
 
 def count_tokens_ws(text: str) -> int:

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 # tokens = whitespace-split, empties dropped (mirrors scoring.WORDS_EXPR
 # but WITHOUT lowercasing: chunk text must round-trip the original)
-_TOKENS_EXPR = r"filter(split({col}, '\\s+'), x -> x <> '')"
+# explicit RE2-whitespace class (Java \s adds \x0B; RE2's does not)
+_TOKENS_EXPR = r"filter(split({col}, '[ \\t\\n\\f\\r]+'), x -> x <> '')"
 
 
 def token_chunks(

@@ -172,20 +172,22 @@ def contaminated_ids_bloom(
     for r in words:
         bits[int(r["__w"])] = int(r["__word"])
     bits_lit = F.array(*[F.lit(b).cast("bigint") for b in bits])
+    # project each probe position ONCE (3 xxhash64 per shingle, not 6),
+    # test all bits against the array literal, then drop the scaffolding
+    pos_cols = [probe(F.col("shingle"), i).alias(f"__p{i}") for i in range(n_hashes)]
+    probed = corp.select("*", *pos_cols)
     cond = None
     for i in range(n_hashes):
-        pos = probe(F.col("shingle"), i)
-        pos_sql = f"pmod(xxhash64(shingle, {i}), {n_bits})"
         hit = F.element_at(
-            bits_lit, (pos / 64).cast("int") + 1
+            bits_lit, (F.col(f"__p{i}") / 64).cast("int") + 1
         ).bitwiseAND(
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT),"
-                f" CAST(pmod({pos_sql}, 64) AS INT))"
+                f" CAST(pmod(__p{i}, 64) AS INT))"
             )
         ) != 0
         cond = hit if cond is None else (cond & hit)
-    cand = corp.filter(cond)
+    cand = probed.filter(cond).drop(*[f"__p{i}" for i in range(n_hashes)])
     return (
         cand.join(F.broadcast(bench), "shingle", "left_semi")
         .select(id_col)

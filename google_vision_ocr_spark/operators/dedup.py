@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from ..functions.text import shingles
+from ..functions.text import _TOKEN_RE, shingles
 
 _MERSENNE = (1 << 61) - 1
 
@@ -73,7 +73,10 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     combination over the token-hash array — equivalent uniqueness to
     hashing each shingle string, ~k× fewer digest calls.
     """
-    toks = [t.lower() for t in text.split()]
+    # RE2-whitespace tokenization (functions.text._TOKEN_RE): Python
+    # str.split() honors Unicode whitespace (NBSP, \x0b) that the
+    # RE2-replaying Jaccard/containment oracles treat as token content
+    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
     if not toks:
         return np.array([0], dtype=np.uint64)
     th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
@@ -195,7 +198,7 @@ def make_simhash_udf(seed: int = 42):
     def simhash_udf(texts: pd.Series) -> pd.Series:
         def one(text: str) -> int:
             acc = np.zeros(64, dtype=np.int64)
-            for tok in (text or "").lower().split():
+            for tok in _TOKEN_RE.findall((text or "").lower()):
                 h = int.from_bytes(
                     hashlib.blake2b(tok.encode("utf-8"), digest_size=8,
                                     key=seed.to_bytes(8, "big")).digest(),
@@ -419,7 +422,7 @@ def duplicate_token_windows(
     (use the full hex for astronomically fewer).
     """
     toks = F.expr(
-        r"filter(split(lower({c}), '\\s+'), x -> x <> '')".format(c=text_col)
+        r"filter(split(lower({c}), '[ \\t\\n\\f\\r]+'), x -> x <> '')".format(c=text_col)
     )
     base = (
         df.select(F.col(id_col), toks.alias("__toks"))

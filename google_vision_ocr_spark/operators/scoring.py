@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORDS_EXPR = r"filter(split(lower({col}), '\\s+'), x -> x <> '')"
+# explicit RE2-whitespace class: Java's \s adds \x0B (vertical tab),
+# RE2's does not — the oracles' '\s+' is exactly [ \t\n\f\r]+
+WORDS_EXPR = r"filter(split(lower({col}), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
 
 
 def _exploded_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -108,10 +108,8 @@ def count_min_merge(sketches: list[DataFrame]) -> DataFrame:
     any corpus segment.  Gate-proven equal to a full rebuild
     (cms_segment_merge shares the full build's oracle)."""
     out = None
-    for s in sketches:
-        out = s if out is None else out.unionByName(s)
-    from pyspark.sql import functions as F
-
+    for seg in sketches:
+        out = seg if out is None else out.unionByName(seg)
     return (
         out.groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
@@ -135,8 +133,6 @@ def distinct_linear_counting(
     where an opaque HLL register blob cannot.  Output: one row
     ``(n_buckets, occupied, estimate_e4)`` with the estimate in exact
     1e-4 units (single ln+round expression, identical both engines)."""
-    from pyspark.sql import functions as F
-
     pos = (
         F.conv(
             F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8),
@@ -157,13 +153,21 @@ def distinct_linear_counting(
         .agg(F.expr("bit_or(__bit)").alias("__word"))
     )
     occ = words.agg(
-        F.sum(F.expr("bit_count(__word)")).cast("bigint").alias("occupied")
+        # empty input: sum over no rows is NULL — occupancy is 0
+        F.coalesce(
+            F.sum(F.expr("bit_count(__word)")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("occupied")
     )
     return occ.select(
         F.lit(m).cast("bigint").alias("n_buckets"),
         "occupied",
+        # saturation (V == m): the estimator diverges (ln 0) — NULL
+        # sentinel, guarded BEFORE the ln so neither engine errors
         F.expr(
-            f"CAST(round(-{m}.0D * ln(CAST({m} - occupied AS DOUBLE)"
-            f" / {m}.0D) * 10000.0) AS BIGINT)"
+            f"CASE WHEN occupied >= {m} THEN NULL ELSE"
+            f" CAST(round(-{m}.0D * ln(CAST({m} - occupied AS DOUBLE)"
+            f" / {m}.0D) * 10000.0) AS BIGINT) END"
         ).alias("estimate_e4"),
     )

@@ -322,6 +322,10 @@ def test_quality_python_matches_duckdb_on_unicode_adversaries():
         "cjk 中文文本 mixed with the english words",
         "decomposed café and the accent",
         "ctrl\x01chars\x02embedded and the rest",
+        # vertical tab: in Python's ASCII \s and Java's \s but NOT in
+        # RE2's — the exact class the explicit [ \t\n\f\r] pin closes
+        "vertical\x0btab\x0bjoined and the rest",
+        "form\x0cfeed split and the rest",
         "   ",
         "!!! ??? ...",
     ]

@@ -56,3 +56,46 @@ def test_retry_recovers_from_transient_failures(spark, fixture_dir):
     for r in oracle.extract_table(rows):
         assert got[r.url]["n_errors"] == 0, r.url
         assert got[r.url]["text"] == r.text, r.url
+
+
+def test_w2_handles_null_lang_and_empty_input(spark, tmp_path):
+    """The bucketed numbering must keep NULL-lang rows (null-safe
+    offset join) and return an empty frame on empty input, like the
+    lang-partitioned window it replaced."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "en"), (1, None), (2, "en"), (3, None), (4, "de")],
+        "doc_id bigint, lang string",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {(r.doc_id): (r.lang, r.rn) for r in e.queries()["w2_row_number"](spark, d).collect()}
+    assert got == {
+        0: ("en", 1), 2: ("en", 2), 4: ("de", 1),
+        1: (None, 1), 3: (None, 2),
+    }
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "doc_id bigint, lang string").write.parquet(
+        f"{empty}/documents.parquet"
+    )
+    assert e.queries()["w2_row_number"](spark, empty).count() == 0
+
+
+def test_linear_counting_saturation_and_empty(spark):
+    """Bitmap saturation yields a NULL estimate (not an ln(0) crash);
+    empty input yields occupancy 0."""
+    from google_vision_ocr_spark.operators.sketch import (
+        distinct_linear_counting,
+    )
+
+    full = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    row = distinct_linear_counting(full, "k", m=8).collect()[0]
+    assert row["occupied"] == 8
+    assert row["estimate_e4"] is None
+
+    empty = spark.createDataFrame([], "k bigint")
+    row = distinct_linear_counting(empty, "k", m=8).collect()[0]
+    assert row["occupied"] == 0
+    assert row["estimate_e4"] == 0
