@@ -40,6 +40,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """Per-process scratch path for fixture artifacts (IVF index, WARC
+    segments): keyed by SF dir AND pid so two concurrent runs over the
+    same SF dir never overwrite each other's files mid-read; stable
+    within a process so bench repeats reuse one directory."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/spark_graft_{kind}_{base}_{os.getpid()}"
+
+
 # round(p/q, n) by INTEGER half-up — the tie-proof recipe for every
 # exact-rational output column (q3/moments defect class); shared
 # implementation + rationale in functions/exact.py
@@ -182,22 +191,31 @@ def _a2_merged_chapters(spark, sf_dir):
     )
 
 
-def _w2_row_number(spark, sf_dir, n_buckets=32):
+def _w2_row_number(spark, sf_dir):
     """Global per-lang sequential numbering WITHOUT a lang-partitioned
     window (5 langs over a web corpus = 5 hot tasks at scale — the
     banned shape).  pack_shards' two-pass prefix-sum instead: bucket
-    by doc_id RANGE (so bucket order ⊆ global order), number within
-    (lang, bucket) — each window task bounded by the range width —
+    by a monotone key (so bucket order ⊆ global order; nonneg ids),
+    number within (lang, bucket) — each task bounded by the granule —
     then add broadcast per-(lang, bucket) exclusive-prefix offsets.
-    The two extra actions (max, bucket counts) are bounded scalars;
-    n_buckets scales with cluster parallelism at 100×."""
+    The prefix pass is ONE driver action on a DATA-INDEPENDENT
+    order-preserving granulation (r4 used range buckets whose width
+    needed a separate max(doc_id) job first — two sequential barriers
+    on the 100× path): bucket = (bit-length of doc_id, top 5 bits
+    after the leading bit).  That key is monotone in doc_id (bucket
+    order ⊆ global order), bounded by construction (≤ 64·32 granules
+    regardless of data), and splits the top octave — half the key
+    range — 32 ways, so window tasks stay ~N/64 for dense ids."""
     d = _t(spark, sf_dir, "documents")
-    mx = d.agg(F.max("doc_id").alias("m")).first()["m"]
-    if mx is None:  # empty input: empty result, same schema
-        return spark.createDataFrame([], "doc_id bigint, lang string, rn bigint")
-    width = max(1, int(mx) // n_buckets + 1)
+    # length(bin(x)) = exact bit length (no float-log2 edge cases);
+    # ids with equal bit length order by their top 5 post-leading bits
     b = d.select(
-        "doc_id", "lang", (F.col("doc_id") / width).cast("bigint").alias("__b")
+        "doc_id", "lang",
+        F.expr(
+            "CAST(length(bin(doc_id)) * 64"
+            " + shiftright(doc_id, CAST(greatest(length(bin(doc_id)) - 6, 0)"
+            " AS INT)) AS BIGINT)"
+        ).alias("__b"),
     )
     counts = [
         (r["lang"], r["__b"], r["n"])
@@ -205,6 +223,8 @@ def _w2_row_number(spark, sf_dir, n_buckets=32):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     ]
+    if not counts:  # empty input: empty result, same schema
+        return spark.createDataFrame([], "doc_id bigint, lang string, rn bigint")
     offsets, acc = [], {}
     # None-lang groups sort after strings (a NULL lang row is legal
     # input; the offset join below matches it via the null-safe key)
@@ -408,7 +428,7 @@ def _ann_ivf_pruned(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    path = "/tmp/spark_graft_ivf_" + os.path.basename(os.path.normpath(sf_dir))
+    path = _scratch_dir("ivf", sf_dir)
     write_ivf_index(e, path, centroid_mod=31)
     return ivf_topk_pruned(
         spark, e, path, query_id=0, k=10, centroid_mod=31, n_probe=4
@@ -608,7 +628,7 @@ def _events_quantiles(spark, sf_dir):
     (round(percentile(double), 4) was the tie class).  Exact
     percentiles need the full per-group sort either way; at 100 TB the
     approx_percentile sketch is the path (see profile_columns)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     c = F.round(F.col("value") * 100).cast("bigint")
     g = e.groupBy("event_type").agg(
         F.sort_array(F.collect_list(c)).alias("__c"),
@@ -1033,6 +1053,24 @@ def _events_sessionize(spark, sf_dir):
         "user_id", "session_start", "session_end",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+def _events_first_crossing(spark, sf_dir):
+    """Batch twin of the streaming exactly-once threshold detector
+    (streaming/heavy_hitters.py::power_users_stream), under the hash
+    gate: the exact event at which each crossing user's running count
+    (ordered by ts, event_id) first reaches the threshold.  The
+    threshold derives inside the plan (mean events/user + 1 — one
+    scalar agg broadcast, no driver action) so it splits the users at
+    any SF; the oracle replays the running row_number window.  The
+    stream's emitted key set equals this frame's user set (pinned in
+    tests/test_streaming_heavy_hitters.py), closing the loop between
+    the checkpointed stateful operator and a SQL-checkable contract."""
+    from google_vision_ocr_spark.streaming.heavy_hitters import (
+        first_crossing_batch,
+    )
+
+    return first_crossing_batch(_t(spark, sf_dir, "events"))
 
 
 def _curate_documents(spark, sf_dir):
@@ -2113,7 +2151,7 @@ def _warc_roundtrip(spark, sf_dir):
 
     from google_vision_ocr_spark.sources.warc import read_warc, write_warc_file
 
-    out_dir = "/tmp/spark_graft_warc_" + os.path.basename(os.path.normpath(sf_dir))
+    out_dir = _scratch_dir("warc", sf_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     docs = (
@@ -2265,6 +2303,52 @@ def _distinct_words_linear_counting(spark, sf_dir):
         F.explode(F.expr(WORDS_EXPR.format(col="text"))).alias("word")
     )
     return distinct_linear_counting(words, "word", m=4096)
+
+
+def _quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (DDSketch-style base-2 log buckets on
+    integer cents) over events.value per event_type: the corpus
+    reduces to ≤ ~4K deterministic counters per key with map-side
+    partial aggregation, and p50/p95 come from a CDF walk over the
+    sketch alone.  The profiling-sketch family's third member next to
+    the CMS (frequencies) and linear counting (distincts) — and unlike
+    KLL/GK the buckets are fixed integers, so the oracle replays the
+    whole build+estimate in SQL and a single bucket-boundary drift
+    fails the value hash.  Exact quantiles (events_value_quantiles)
+    need the full per-group sort; at 100 TB this sketch is the path."""
+    from google_vision_ocr_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    sk = quantile_sketch_build(e, "value", "event_type")
+    return quantile_sketch_quantiles(sk, "event_type", percents=(50, 95))
+
+
+def _quantile_sketch_merge(spark, sf_dir):
+    """Incremental quantile-sketch maintenance, gate-proven: build
+    per-segment sketches over two disjoint halves (event_id parity),
+    merge by counter addition, estimate from the merged sketch — and
+    hash-compare against the ORACLE OF THE FULL BUILD (shared with
+    quantile_sketch), the same merge==rebuild contract the CMS and
+    postings merges carry.  Daily sketches roll up without rescanning
+    history."""
+    from google_vision_ocr_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    a = quantile_sketch_build(
+        e.filter(F.col("event_id") % 2 == 0), "value", "event_type"
+    )
+    b = quantile_sketch_build(
+        e.filter(F.col("event_id") % 2 == 1), "value", "event_type"
+    )
+    merged = quantile_sketch_merge([a, b])
+    return quantile_sketch_quantiles(merged, "event_type", percents=(50, 95))
 
 
 def _host_triangles(spark, sf_dir):
@@ -2965,6 +3049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_cdc": _snapshot_diff_cdc,
         "events_value_moments": _events_moments,
         "events_value_anomalies": _events_anomalies,
+        "quantile_sketch": _quantile_sketch,
+        "quantile_sketch_merge": _quantile_sketch_merge,
+        "events_first_crossing": _events_first_crossing,
         # --- outside the window (driver-checked in earlier rounds, or
         # verified by the local gate at sf0.001/0.01/0.1) ------------
         "merge_upsert_snapshot": _merge_upsert_snapshot,
@@ -3405,6 +3492,61 @@ def _zorder_oracle_sql() -> str:
 
     z = morton2_sql("user_id", "CAST(round(value * 100) AS BIGINT)", bits=16)
     return f"SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM events"
+
+
+# DuckDB replay of the full quantile-sketch build + CDF-walk estimate
+# (operators/sketch.py::quantile_sketch_*): cents → signed (octave,
+# 1/32-octave) bucket code, per-key counts, cumulative walk to the
+# (p·(n−1)) div 100 + 1 rank, answer = bucket lower bound.  Shared by
+# quantile_sketch AND quantile_sketch_merge — merge==rebuild is the
+# hash-gate claim itself.
+_QSKETCH_SQL = """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ), b AS (
+        SELECT event_type,
+               CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                    WHEN c > 0 THEN CAST(length(bin(c)) * 64
+                         + (c >> greatest(length(bin(c)) - 6, 0)) AS BIGINT)
+                    ELSE -CAST(length(bin(-c)) * 64
+                         + ((-c) >> greatest(length(bin(-c)) - 6, 0))
+                         AS BIGINT)
+               END AS bucket
+        FROM c
+    ), s AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY event_type, bucket
+    ), w AS (
+        SELECT event_type, bucket,
+               CAST(sum(cnt) OVER (PARTITION BY event_type
+                                   ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS tot
+        FROM s
+    ), k AS (
+        SELECT event_type,
+               CAST(max(tot) AS BIGINT) AS n_events,
+               min(bucket) FILTER (
+                   WHERE cum >= (50 * (tot - 1)) // 100 + 1) AS k50,
+               min(bucket) FILTER (
+                   WHERE cum >= (95 * (tot - 1)) // 100 + 1) AS k95
+        FROM w GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(CASE WHEN k50 = 0 THEN 0
+                     ELSE (CASE WHEN k50 < 0 THEN -1 ELSE 1 END)
+                          * ((abs(k50) % 64)
+                             << greatest((abs(k50) // 64) - 6, 0)) END
+                AS DOUBLE) / 100.0 AS p50_est,
+           CAST(CASE WHEN k95 = 0 THEN 0
+                     ELSE (CASE WHEN k95 < 0 THEN -1 ELSE 1 END)
+                          * ((abs(k95) % 64)
+                             << greatest((abs(k95) // 64) - 6, 0)) END
+                AS DOUBLE) / 100.0 AS p95_est,
+           n_events
+    FROM k
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3945,7 +4087,8 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                        list_sort(list(CAST(round(value * 100) AS BIGINT)))
                            AS c,
                        CAST(count(*) AS BIGINT) AS n_events
-                FROM events GROUP BY event_type
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type
             )
             SELECT event_type,
                    CAST(c[CAST((50 * (n_events - 1)) // 100 + 1 AS INT)]
@@ -5037,6 +5180,10 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                             AS BIGINT) END AS estimate_e4
             FROM occ
         """,
+        # merge==rebuild: the merge query shares the FULL build's
+        # oracle verbatim (same contract as cms_segment_merge)
+        "quantile_sketch": _QSKETCH_SQL,
+        "quantile_sketch_merge": _QSKETCH_SQL,
         "host_triangles": """
             WITH e AS (
                 SELECT source AS src,
@@ -5640,6 +5787,30 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM sid GROUP BY user_id, session_id
+        """,
+        # window-SUM replay of the streaming detector's batch twin:
+        # running rank per user (total order: ts, event_id tie-break),
+        # threshold = integer mean events/user + 1, pick the rank-==-
+        # threshold row
+        "events_first_crossing": """
+            WITH t AS (
+                SELECT CAST(count(*) // count(DISTINCT user_id) + 1
+                            AS BIGINT) AS threshold
+                FROM events
+            ), r AS (
+                SELECT user_id, event_id, ts,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT) AS rn,
+                       CAST(count(*) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS total_events
+                FROM events
+            )
+            SELECT r.user_id,
+                   r.event_id AS crossed_event_id,
+                   epoch_us(CAST(r.ts AS TIMESTAMP)) AS crossed_us,
+                   r.total_events,
+                   t.threshold
+            FROM r, t WHERE r.rn = t.threshold
         """,
         # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash,
         # lsh_bucket_histogram: seeded-hash / random-hyperplane

@@ -9,17 +9,31 @@ The fix used throughout this repo is to round in INTEGER space — these
 helpers are the shared implementation for any ratio of int64
 quantities (averages, Jaccard, fractions, market shares).
 
-Mechanics (full int64 range — no den bound): seed m0 from the IEEE
-double ratio, then correct it with the exact integer predicate
+Mechanics (full int64 range — no num/den bound): split the ratio into
+integer and fractional parts first, ``num = q·den + r`` with
+``q = num DIV den`` and ``0 <= r < den`` (exact int64 ops), so
 
-    m = round-half-up(s·num/den)  ⟺  (2m−1)·den ≤ 2·s·num < (2m+1)·den
+    round-half-up(s·num/den) = s·q + round-half-up(s·r/den)
+
+and the inner value ``s·r/den`` is < s (≤ 10^6-ish).  The inner term
+is seed-and-correct: seed m0 from the IEEE double ratio — bounded by
+s, so the double error is ≪ 0.5 and one ±1 step suffices — then fix
+it with the exact integer predicate
+
+    m = round-half-up(s·r/den)  ⟺  (2m−1)·den ≤ 2·s·r < (2m+1)·den
 
 evaluated in DECIMAL(38,0) on Spark / HUGEINT on DuckDB (products
 only — Spark's decimal ``div`` overflows internally, so no wide
-division is ever performed).  The double seed is within ±1 of the true
-value for any ratio below ~2^52, so a single ±1 correction step is
-exact.  This is the same seed-and-correct scheme the moments std uses
-for its integer sqrt.
+division is ever performed; 2·s·r ≤ 2·10^6·2^63 < 10^38 fits).
+While ``s·q + m ≤ 2^53`` the output is the single correctly-rounded
+division ``CAST(s·q + m AS DOUBLE)/s`` (bit-identical to the
+pre-split formula on its old safe domain); beyond 2^53 that cast
+itself becomes lossy, so the mirrored ``CAST(q AS DOUBLE) + m/s``
+form is used instead — q is the only rounded term (exact up to
+2^53·10^digits), and it is the same expression on both engines, so
+cross-engine identity holds over the full int64 range.
+This is the same seed-and-correct scheme the moments std uses for its
+integer sqrt.
 """
 
 from __future__ import annotations
@@ -31,19 +45,27 @@ from pyspark.sql import functions as F
 def _spark_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
     s = 10**digits
     dec = "CAST({} AS DECIMAL(38,0))"
-    two_sn = f"({dec.format(f'({num_sql})')} * {2 * s})"
+    q = f"(({num_sql}) DIV ({den_sql}))"
+    r = f"(({num_sql}) % ({den_sql}))"
+    two_sr = f"({dec.format(f'({r})')} * {2 * s})"
     m0 = (
-        f"CAST(floor({s}.0D * CAST(({num_sql}) AS DOUBLE)"
+        f"CAST(floor({s}.0D * CAST({r} AS DOUBLE)"
         f" / CAST(({den_sql}) AS DOUBLE) + 0.5) AS BIGINT)"
     )
     up = f"({dec.format(f'2 * ({m0}) + 1')} * {dec.format(f'({den_sql})')})"
     dn = f"({dec.format(f'2 * ({m0}) - 1')} * {dec.format(f'({den_sql})')})"
     m = (
-        f"CASE WHEN {two_sn} >= {up} THEN ({m0}) + 1"
-        f" WHEN {two_sn} < {dn} THEN ({m0}) - 1"
+        f"CASE WHEN {two_sr} >= {up} THEN ({m0}) + 1"
+        f" WHEN {two_sr} < {dn} THEN ({m0}) - 1"
         f" ELSE ({m0}) END"
     )
-    return f"CAST({m} AS DOUBLE) / {float(s)}"
+    safe_q = (2**53 - s) // s
+    return (
+        f"CASE WHEN {q} <= {safe_q}"
+        f" THEN CAST(CAST({s} AS BIGINT) * {q} + ({m}) AS DOUBLE)"
+        f" / {float(s)}"
+        f" ELSE CAST({q} AS DOUBLE) + CAST(({m}) AS DOUBLE) / {float(s)} END"
+    )
 
 
 def halfup_ratio(num_sql: str, den_sql: str, digits: int) -> Column:
@@ -68,19 +90,27 @@ def halfup_ratio_signed(num_sql: str, den_sql: str, digits: int) -> Column:
 
 def _duck_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
     s = 10**digits
-    two_sn = f"(CAST(({num_sql}) AS HUGEINT) * {2 * s})"
+    q = f"(({num_sql}) // ({den_sql}))"
+    r = f"(({num_sql}) % ({den_sql}))"
+    two_sr = f"(CAST(({r}) AS HUGEINT) * {2 * s})"
     m0 = (
-        f"CAST(floor({s}.0 * CAST(({num_sql}) AS DOUBLE)"
+        f"CAST(floor({s}.0 * CAST({r} AS DOUBLE)"
         f" / CAST(({den_sql}) AS DOUBLE) + 0.5) AS BIGINT)"
     )
     up = f"(CAST(2 * ({m0}) + 1 AS HUGEINT) * CAST(({den_sql}) AS HUGEINT))"
     dn = f"(CAST(2 * ({m0}) - 1 AS HUGEINT) * CAST(({den_sql}) AS HUGEINT))"
     m = (
-        f"CASE WHEN {two_sn} >= {up} THEN ({m0}) + 1"
-        f" WHEN {two_sn} < {dn} THEN ({m0}) - 1"
+        f"CASE WHEN {two_sr} >= {up} THEN ({m0}) + 1"
+        f" WHEN {two_sr} < {dn} THEN ({m0}) - 1"
         f" ELSE ({m0}) END"
     )
-    return f"CAST({m} AS DOUBLE) / {float(s)}"
+    safe_q = (2**53 - s) // s
+    return (
+        f"CASE WHEN {q} <= {safe_q}"
+        f" THEN CAST(CAST({s} AS BIGINT) * {q} + ({m}) AS DOUBLE)"
+        f" / {float(s)}"
+        f" ELSE CAST({q} AS DOUBLE) + CAST(({m}) AS DOUBLE) / {float(s)} END"
+    )
 
 
 def halfup_ratio_sql(num_sql: str, den_sql: str, digits: int) -> str:

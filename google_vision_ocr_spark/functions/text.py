@@ -11,6 +11,7 @@ fingerprinting.  Pure, deterministic functions — vectorized over numpy
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import numpy as np
 import pandas as pd
@@ -70,8 +71,6 @@ def _is_alnum_sql(c: str) -> bool:
     """Mirror of RE2 ``[\\pL\\pN]`` (Unicode letter or number) — what
     the quality oracle counts; Python's ``str.isalnum`` agrees on all
     of L*/N* but the category test keeps the spec single-sourced."""
-    import unicodedata
-
     return unicodedata.category(c)[0] in ("L", "N")
 
 

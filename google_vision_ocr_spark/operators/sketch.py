@@ -107,6 +107,8 @@ def count_min_merge(sketches: list[DataFrame]) -> DataFrame:
     that lets per-day / per-shard sketches roll up without rescanning
     any corpus segment.  Gate-proven equal to a full rebuild
     (cms_segment_merge shares the full build's oracle)."""
+    if not sketches:
+        raise ValueError("count_min_merge needs at least one sketch")
     out = None
     for seg in sketches:
         out = seg if out is None else out.unionByName(seg)
@@ -170,4 +172,129 @@ def distinct_linear_counting(
             f" CAST(round(-{m}.0D * ln(CAST({m} - occupied AS DOUBLE)"
             f" / {m}.0D) * 10000.0) AS BIGINT) END"
         ).alias("estimate_e4"),
+    )
+
+
+# --- mergeable quantile sketch (base-2 log-bucket histogram) ---------------
+#
+# The quantile companion to the CMS above: a DDSketch-style (Masson et
+# al. 2019) relative-error histogram with DETERMINISTIC integer
+# buckets, so — unlike KLL/GK, whose compactions are sampling-order-
+# dependent — build, merge, and estimate are all ANSI-SQL-replayable
+# and sit under the DuckDB hash gate.  Values quantize to int64 cents;
+# a cent amount c maps to the signed bucket code
+#
+#     code(c) = sign(c) · (bitlen(|c|)·64 + top-6-bits(|c|)),  code(0)=0
+#
+# i.e. the (octave, 1/32-of-octave) cell of |c| — monotone in c, so
+# bucket order == value order and the CDF walk needs no sort of data,
+# only of the sketch.  Bucket count is bounded by construction
+# (≤ 2·64·64+1 codes possible regardless of corpus size), each bucket
+# spans ≤ 1/32 of its octave (≤ ~3.1% relative width; exact below 32
+# cents where the code IS the value), and per-segment sketches merge
+# by counter addition exactly like the CMS.  Estimates return the
+# bucket's lower bound — deterministic, so merge==rebuild is provable
+# by hash equality, not approximately.
+
+_QS_CODE = (
+    "CASE WHEN {c} = 0 THEN CAST(0 AS BIGINT)"
+    " WHEN {c} > 0 THEN CAST(length(bin({c})) * 64"
+    "   + shiftright({c}, CAST(greatest(length(bin({c})) - 6, 0) AS INT))"
+    "   AS BIGINT)"
+    " ELSE -CAST(length(bin(-({c}))) * 64"
+    "   + shiftright(-({c}), CAST(greatest(length(bin(-({c}))) - 6, 0)"
+    "     AS INT)) AS BIGINT) END"
+)
+
+# lower bound of the |code| bucket, re-signed: sub << (octave - 6)
+_QS_REP = (
+    "CASE WHEN {k} = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(sign({k}) AS BIGINT)"
+    "   * shiftleft(abs({k}) % 64,"
+    "       CAST(greatest((abs({k}) div 64) - 6, 0) AS INT)) END"
+)
+
+
+def quantile_sketch_build(
+    df: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """Build the per-key sketch ``(key, bucket, cnt)``.
+
+    One fixed-size hash aggregation with map-side partials — the
+    corpus reduces to ≤ ~4K counters per key on the wire regardless of
+    row count.  NULL values are excluded (they carry no quantile
+    information and Spark/DuckDB aggregate them differently)."""
+    cents = f"CAST(round({value_col} * 100) AS BIGINT)"
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.expr(_QS_CODE.format(c=f"({cents})")).alias("bucket"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge per-segment sketches by counter addition (same contract
+    as :func:`count_min_merge`: gate-proven equal to a full rebuild —
+    quantile_sketch_merge shares the full build's oracle)."""
+    if not sketches:
+        raise ValueError("quantile_sketch_merge needs at least one sketch")
+    out = None
+    for seg in sketches:
+        out = seg if out is None else out.unionByName(seg)
+    key = [c for c in out.columns if c not in ("bucket", "cnt")]
+    return out.groupBy(*key, "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def quantile_sketch_quantiles(
+    sketch: DataFrame, key_col: str, percents: tuple[int, ...] = (50, 95)
+) -> DataFrame:
+    """Answer quantile queries from the sketch alone (no corpus
+    access): walk the bucket CDF in code order and return the first
+    bucket whose cumulative count reaches the target rank, as its
+    lower-bound value in currency units.
+
+    The rank convention matches events_value_quantiles' lower index:
+    ``pos = (p·(n−1)) div 100 + 1`` (1-indexed).  The windows below
+    partition by key over SKETCH rows — bounded by construction
+    (≤ ~4K buckets/key), not corpus-scale, so this is not the banned
+    hot-key window shape."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(key_col)
+    c = sketch.select(
+        key_col,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("__tot"),
+    )
+    aggs = [F.max("__tot").cast("bigint").alias("n_events")]
+    names = []
+    for p in percents:
+        pos = f"(({p} * (__tot - 1)) div 100 + 1)"
+        code = F.min(
+            F.when(F.expr(f"__cum >= {pos}"), F.col("bucket"))
+        )
+        aggs.append(code.alias(f"__k{p}"))
+        names.append(p)
+    out = c.groupBy(key_col).agg(*aggs)
+    for p in names:
+        out = out.withColumn(
+            f"p{p}_est",
+            F.expr(
+                f"CAST({_QS_REP.format(k=f'__k{p}')} AS DOUBLE) / 100.0"
+            ),
+        )
+    return out.select(
+        key_col, *[f"p{p}_est" for p in names], "n_events"
     )

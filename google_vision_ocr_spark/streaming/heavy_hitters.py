@@ -66,3 +66,56 @@ def power_users_batch(events: DataFrame, threshold: int) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("total"))
         .filter(F.col("total") >= threshold)
     )
+
+
+def first_crossing_batch(events: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Deterministic batch twin of :func:`power_users_stream` suitable
+    for the hash gate: for each user whose lifetime count reaches the
+    threshold, the exact EVENT at which their running count (ordered
+    by ts, event_id — a total order, so ties are impossible) first
+    does.  The stream's ``crossed_at_count`` legitimately depends on
+    micro-batch boundaries; this twin pins the batch-invariant part —
+    WHO crosses and WHERE in their own history — which is also the
+    stream's emitted key set (asserted in
+    tests/test_streaming_heavy_hitters.py).
+
+    ``threshold=None`` derives ``mean events/user + 1`` inside the
+    plan (one scalar aggregation broadcast against the windowed rows —
+    no driver action), which splits the users at any SF.  Windows
+    partition by user_id: the bounded events-per-user shape, never
+    corpus-scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("__ts"),
+        F.row_number().over(w).cast("bigint").alias("__rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("total_events"),
+    )
+    if threshold is None:
+        # exact integer mean events/user, +1 — one tiny scalar frame
+        thr = events.agg(
+            F.expr(
+                "CAST(count(1) div count(DISTINCT user_id) + 1 AS BIGINT)"
+            ).alias("threshold")
+        )
+    else:
+        thr = events.sparkSession.range(1).select(
+            F.lit(int(threshold)).cast("bigint").alias("threshold")
+        )
+    return (
+        r.crossJoin(F.broadcast(thr))
+        .filter(F.col("__rn") == F.col("threshold"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("crossed_event_id"),
+            F.expr("unix_micros(__ts)").alias("crossed_us"),
+            "total_events",
+            "threshold",
+        )
+    )

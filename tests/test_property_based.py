@@ -585,3 +585,73 @@ def test_moments_singleton_group_yields_null_variance(spark):
     assert got["solo"].var_value is None
     assert got["solo"].std_value is None
     assert got["pair"].var_value is not None
+
+
+def _halfup_expected(num, den, digits):
+    """Exact round-half-up(10^digits·num/den) with the SAME output
+    representation both engine expressions commit to: one correctly-
+    rounded double division while the scaled integer stays ≤ 2^53
+    (Python int/int truediv IS that correctly-rounded division), else
+    the mirrored q + m/s double sum — the cast of s·q+m past 2^53 is
+    itself lossy, the hypothesis sweep caught it at
+    num=360287970189641, den=1, digits=2.  Full-int64-range contract
+    added after the r4 advisor found the old seed-and-correct drifting
+    past 2^52 (num=7996807223210584435, den=971 was off by ~6e5)."""
+    s = 10 ** digits
+    m = (2 * s * num + den) // (2 * den)  # true half-up, exact ints
+    q, mi = num // den, m - s * (num // den)
+    if q <= (2 ** 53 - s) // s:
+        return (s * q + mi) / s
+    return float(q) + float(mi) / s
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(0, 2 ** 63 - 1),
+            st.integers(1, 2 ** 63 - 1),
+            st.sampled_from([0, 2, 4, 6]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_halfup_ratio_full_int64_range(spark, cases):
+    """halfup_ratio / halfup_ratio_sql over the FULL int64 domain:
+    Spark expr, DuckDB expr, and the exact integer reference must
+    agree for every (num, den, digits) — including quotients far past
+    the old ~2^52 seed-validity bound."""
+    import duckdb
+
+    from google_vision_ocr_spark.functions.exact import (
+        halfup_ratio,
+        halfup_ratio_sql,
+    )
+
+    cases = cases + [
+        (7996807223210584435, 971, 6),  # advisor counterexample (r4)
+        (2 ** 63 - 1, 1, 6),
+        (2 ** 63 - 1, 3, 4),
+        (999999, 1000000, 6),
+        (1, 2, 0),
+    ]
+    con = duckdb.connect()
+    for digits in sorted({d for _, _, d in cases}):
+        sub = [(n, dn) for n, dn, d in cases if d == digits]
+        df = spark.createDataFrame(sub, "num bigint, den bigint")
+        got_spark = [
+            r.v
+            for r in df.select(
+                halfup_ratio("num", "den", digits).alias("v")
+            ).collect()
+        ]
+        got_duck = [
+            con.execute(
+                f"SELECT {halfup_ratio_sql(str(n), str(dn), digits)}"
+            ).fetchone()[0]
+            for n, dn in sub
+        ]
+        exp = [_halfup_expected(n, dn, digits) for n, dn in sub]
+        assert got_spark == exp, (digits, sub)
+        assert got_duck == exp, (digits, sub)

@@ -9,6 +9,7 @@ from google_vision_ocr_spark.streaming.events import (
     run_available_now,
 )
 from google_vision_ocr_spark.streaming.heavy_hitters import (
+    first_crossing_batch,
     power_users_batch,
     power_users_stream,
 )
@@ -87,6 +88,15 @@ def test_stream_crossings_match_batch_key_set(spark, tmp_path):
     # multi-batch statefulness actually exercised: at least one user
     # crossed with fewer events than their lifetime total
     assert (merged["crossed_at_count"] < merged["total"]).any()
+    # batch==stream, gate edition: the deterministic first-crossing
+    # twin (the events_first_crossing oracle query) must emit exactly
+    # the same user set as the checkpointed stream — one row per
+    # crossing user, at running-rank == threshold
+    fc = first_crossing_batch(events, threshold).toPandas()
+    assert set(fc["user_id"]) == set(got["user_id"])
+    assert fc["user_id"].is_unique
+    assert (fc["threshold"] == threshold).all()
+    assert (fc["total_events"] >= threshold).all()
 
 
 def test_batch_twin_threshold_edge(spark):
