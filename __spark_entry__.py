@@ -447,6 +447,17 @@ def _ann_lsh_planted(spark, sf_dir):
     hyperplane LSH.)"""
     from google_vision_ocr_spark.operators.similarity import hyperplane_lsh_topk
 
+    return hyperplane_lsh_topk(
+        _planted_neighbor_frame(spark, sf_dir), query_id=0, k=10, dim=64
+    )
+
+
+def _planted_neighbor_frame(spark, sf_dir):
+    """Embeddings + 10 graded planted near-neighbors of vector 0
+    (deterministic integer perturbations scaled 0.001·j, cosines
+    ≈0.9997…0.97) — the shared frame behind ann_lsh_planted and
+    ann_lsh_pruned_multiprobe, mirrored verbatim in their common
+    brute-force oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -464,7 +475,33 @@ def _ann_lsh_planted(spark, sf_dir):
             ).alias("embedding"),
         )
     )
-    return hyperplane_lsh_topk(base.unionByName(planted), query_id=0, k=10, dim=64)
+    return base.unionByName(planted)
+
+
+def _ann_lsh_pruned_multiprobe(spark, sf_dir):
+    """The multi-table OR-amplified probe through its PHYSICAL layout:
+    the planted frame is written hive-partitioned by (tbl, code) —
+    every row once per hash table — and the probe's scan predicate is
+    the OR of per-table radius-1 Hamming-ball literals, so EVERY
+    branch statically prunes to its ball's directories
+    (PartitionFilters plan-asserted in tests/test_pruned_probe.py,
+    mirroring the IVF probe).  Results equal hyperplane_lsh_topk /
+    the brute-force oracle on the planted neighbors — a retrieval
+    miss anywhere in the 4-table union fails the hash gate."""
+    from google_vision_ocr_spark.operators.similarity import (
+        lsh_multiprobe_pruned,
+        write_lsh_multi_index,
+    )
+
+    frame = _planted_neighbor_frame(spark, sf_dir)
+    path = _scratch_dir("lshm", sf_dir)
+    write_lsh_multi_index(
+        frame, path, n_tables=4, n_planes=12, seed=42, dim=64
+    )
+    return lsh_multiprobe_pruned(
+        spark, frame, path, query_id=0, k=10, n_tables=4, n_planes=12,
+        radius=1, seed=42, dim=64,
+    )
 
 
 def _minhash_pairs(spark, sf_dir):
@@ -3049,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_cdc": _snapshot_diff_cdc,
         "events_value_moments": _events_moments,
         "events_value_anomalies": _events_anomalies,
+        "ann_lsh_pruned_multiprobe": _ann_lsh_pruned_multiprobe,
         "quantile_sketch": _quantile_sketch,
         "quantile_sketch_merge": _quantile_sketch_merge,
         "events_first_crossing": _events_first_crossing,
@@ -3494,6 +3532,29 @@ def _zorder_oracle_sql() -> str:
     return f"SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM events"
 
 
+# brute-force cosine truth over the planted-neighbor frame (shared by
+# ann_lsh_planted and ann_lsh_pruned_multiprobe)
+_PLANTED_LSH_SQL = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), planted AS (
+        SELECT 200000 + j AS vec_id,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        + 0.001 * j * ((i * 37) % 11 - 5)) AS v
+        FROM embeddings CROSS JOIN generate_series(1, 10) AS t(j)
+        WHERE vec_id = 0
+    ), allv AS (
+        SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), q AS (SELECT v AS qv FROM allv WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+    FROM allv, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+    LIMIT 10
+"""
+
+
 # DuckDB replay of the full quantile-sketch build + CDF-walk estimate
 # (operators/sketch.py::quantile_sketch_*): cents → signed (octave,
 # 1/32-octave) bucket code, per-key counts, cumulative walk to the
@@ -3764,25 +3825,11 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
         """,
         # brute-force top-10 over the same planted frame the Spark LSH
         # query builds; the true top-10 is the planted neighbor set
-        "ann_lsh_planted": """
-            WITH base AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            ), planted AS (
-                SELECT 200000 + j AS vec_id,
-                       list_transform(generate_series(1, len(embedding)),
-                           i -> CAST(embedding[i] AS DOUBLE)
-                                + 0.001 * j * ((i * 37) % 11 - 5)) AS v
-                FROM embeddings CROSS JOIN generate_series(1, 10) AS t(j)
-                WHERE vec_id = 0
-            ), allv AS (
-                SELECT * FROM base UNION ALL SELECT * FROM planted
-            ), q AS (SELECT v AS qv FROM allv WHERE vec_id = 0)
-            SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
-            FROM allv, q
-            WHERE vec_id <> 0
-            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
-            LIMIT 10
-        """,
+        "ann_lsh_planted": _PLANTED_LSH_SQL,
+        # the physical multiprobe must retrieve the same planted set —
+        # shared brute-force oracle (a pruning/retrieval miss anywhere
+        # in the 4-table union breaks the hash)
+        "ann_lsh_pruned_multiprobe": _PLANTED_LSH_SQL,
         # exact integer-cents money arithmetic mirroring the Spark
         # side: round(x*100) recovers lossless int64 cents; product
         # sums carry 10^-4/10^-6 dollar units and round back to cents

@@ -607,3 +607,94 @@ def lsh_probe_pruned(
         .limit(k)
         .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
     )
+
+
+def write_lsh_multi_index(
+    embeddings: DataFrame,
+    path: str,
+    n_tables: int = 4,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the FULL multi-table LSH index hive-partitioned by
+    ``(tbl, code)`` in one pass: each row appears once per table with
+    that table's code (table ``t`` uses seed ``seed + 1000·t``, the
+    same family :func:`hyperplane_lsh_topk` amplifies over).  The
+    physical form of OR-amplification at scale — every per-table
+    Hamming ball is a set of directories, so a multiprobe plans
+    ``n_tables`` groups of literal partition values and never scans
+    an unprobed bucket (asserted in tests/test_pruned_probe.py)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    coded = embeddings
+    for t in range(n_tables):
+        udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
+        coded = coded.withColumn(f"__code{t}", udf(F.col(vec_col)))
+    stack_args = ", ".join(f"{t}, __code{t}" for t in range(n_tables))
+    rows = coded.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(f"stack({n_tables}, {stack_args}) AS (tbl, code)"),
+    )
+    rows.write.mode(mode).partitionBy("tbl", "code").parquet(path)
+
+
+def lsh_multiprobe_pruned(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_id: int,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 12,
+    radius: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Union-of-Hamming-balls probe of a :func:`write_lsh_multi_index`
+    table: the query's per-table codes expand to radius-``radius``
+    balls, and the scan predicate is the OR of ``(tbl = t AND code IN
+    ball_t)`` — all literals over the two partition columns, so every
+    branch statically prunes to its ball's directories.  Rows caught
+    by several tables dedupe by id before the exact rerank (matching
+    the by-row OR semantics of :func:`hyperplane_lsh_topk`)."""
+    from functools import reduce
+    from itertools import combinations
+    from operator import or_
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    q = embeddings.filter(F.col(id_col) == query_id)
+    for t in range(n_tables):
+        udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
+        q = q.withColumn(f"__qc{t}", udf(F.col(vec_col)))
+    qr = q.select(*[f"__qc{t}" for t in range(n_tables)]).first()
+    preds = []
+    for t in range(n_tables):
+        qc = qr[f"__qc{t}"]
+        ball = [qc] + [
+            qc ^ sum(1 << b for b in bits)
+            for r in range(1, radius + 1)
+            for bits in combinations(range(n_planes), r)
+        ]
+        preds.append((F.col("tbl") == t) & F.col("code").isin(ball))
+    idx = spark.read.parquet(index_path).filter(reduce(or_, preds))
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        idx.filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .crossJoin(F.broadcast(qvec))
+        .select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 4).alias("cos_sim"))
+    )

@@ -126,3 +126,63 @@ def test_lsh_pruned_probe_is_subset_of_radius1_inmemory(spark, emb, tmp_path):
         dim=64,
     ).collect()
     assert [tuple(r) for r in pruned] == [tuple(r) for r in mem]
+
+
+def test_lsh_multiprobe_prunes_every_table_branch(spark, emb, tmp_path):
+    """The multi-table probe (VERDICT r4 #4): the (tbl, code)-
+    partitioned index scan must carry one statically-pruned branch per
+    hash table — OR of (tbl = t AND code IN ball_t) in
+    PartitionFilters — and its results must equal the in-memory
+    OR-amplified operator exactly (identical candidate-set semantics:
+    by-row OR == deduped union of per-table balls)."""
+    from google_vision_ocr_spark.operators.similarity import (
+        lsh_multiprobe_pruned,
+        write_lsh_multi_index,
+    )
+
+    path = str(tmp_path / "lshm")
+    write_lsh_multi_index(emb, path, n_tables=2, n_planes=8, seed=42, dim=64)
+    # scan metadata truncates at 100 chars by default — the two
+    # 9-literal balls need more to be asserted exactly
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        out = lsh_multiprobe_pruned(
+            spark, emb, path, query_id=0, k=10, n_tables=2, n_planes=8,
+            radius=1, seed=42, dim=64,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    i = plan.find("PartitionFilters: [")
+    assert i >= 0, plan
+    pf = plan[i : plan.find("]", i) + 1]
+    # one pruned branch per table, each with its own literal ball
+    for t in range(2):
+        assert re.search(rf"tbl#\d+ = {t}\)", pf), pf
+    assert pf.count("INSET") + pf.count(" IN (") >= 2, pf
+    # every per-table ball literal is the query code's radius-1
+    # neighborhood under that table's seed
+    for t in range(2):
+        udf = make_bucket_udf(64, 8, 42 + 1000 * t)
+        qc = (
+            emb.filter(F.col("vec_id") == 0)
+            .select(udf(F.col("embedding")).alias("c"))
+            .first()["c"]
+        )
+        ball = {qc} | {qc ^ (1 << b) for b in range(8)}
+        nums = None
+        for mm in re.finditer(rf"tbl#\d+ = {t}\) AND code#\d+L? (?:INSET|IN \()([\d, .]+?)(?:\)|\))", pf):
+            cand = {int(x) for x in re.findall(r"\d+", mm.group(1))}
+            if cand == ball:
+                nums = cand
+                break
+        assert nums == ball, (t, pf)
+    got = [tuple(r) for r in out.collect()]
+    mem = [
+        tuple(r)
+        for r in hyperplane_lsh_topk(
+            emb, query_id=0, k=10, n_planes=8, n_tables=2,
+            hamming_radius=1, seed=42, dim=64,
+        ).collect()
+    ]
+    assert got == mem
