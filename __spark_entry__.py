@@ -3031,10 +3031,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50; all oracled) -------------------
         # The driver's CORRECTNESS sweep hashes only the first 50
-        # entries, so this window rotates each round: flagship + one
-        # representative per SURVEY §2 family stays pinned, the rest
-        # front-loads queries with no prior driver evidence (policy in
-        # SURVEY §8).  The 4 seeded-hash LSH entries (no SQL oracle)
+        # entries.  Round-5 rotation COMPLETES the coverage plan from
+        # SURVEY §8: slots 1-9 stay the flagship + one representative
+        # per SURVEY §2 family, slots 10-41 are the final 32 oracled
+        # queries that had never appeared in any round's window (the
+        # r1-r5 union now covers every oracled query at least once),
+        # slots 42-45 are this round's new operators, and slots 46-50
+        # re-evidence queries whose code changed this round (w2 one-
+        # action prefix pass, NULL-safe quantiles, full-range halfup
+        # call sites).  The 4 seeded-hash LSH entries (no SQL oracle)
         # sit at the tail so they never consume a hash-checkable slot.
         "extract_documents_flagship": _flagship,
         "f1_filter_project": _f1_filter,
@@ -3045,95 +3050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_dedup": _set_union_dedup,
         "t6_templating": _t6_templating,
         "events_sessionize": _events_sessionize,
-        "tpch_q2_min_cost_supplier": _tpch_q2,
-        "tpch_q9_product_profit": _tpch_q9,
-        "tpch_q11_important_stock": _tpch_q11,
-        "tpch_q15_top_supplier": _tpch_q15,
-        "tpch_q16_part_supplier_counts": _tpch_q16,
-        "tpch_q20_excess_stock": _tpch_q20,
-        "tpch_q21_waiting_suppliers": _tpch_q21,
-        "ann_ivf_pruned_probe": _ann_ivf_pruned,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "host_triangles": _host_triangles,
-        "decontamination_bloom": _decontamination_bloom,
-        "cms_segment_merge": _cms_segment_merge,
-        "distinct_words_linear_counting": _distinct_words_linear_counting,
-        "bpe_train_merges": _bpe_merges,
-        "bpe_encoded_tokens": _bpe_encoded_tokens,
-        "inverted_postings": _inverted_postings,
-        "postings_segment_merge": _postings_segment_merge,
-        "quality_classifier_scores": _quality_classifier,
-        "quality_classifier_bigrams": _quality_classifier_bigrams,
-        "tier_extraction": _tier_extraction,
-        "host_pagerank": _host_pagerank,
-        "warc_roundtrip": _warc_roundtrip,
-        "tpch_q4_priority_count": _tpch_q4,
-        "tpch_q5_local_supplier": _tpch_q5,
-        "tpch_q7_two_nation_volume": _tpch_q7,
-        "tpch_q8_market_share": _tpch_q8,
-        "tpch_q10_returned_items": _tpch_q10,
-        "tpch_q12_priority_classes": _tpch_q12,
-        "tpch_q13_order_distribution": _tpch_q13,
-        "tpch_q14_promo_revenue": _tpch_q14,
-        "tpch_q17_small_quantity": _tpch_q17,
-        "tpch_q18_large_orders": _tpch_q18,
-        "tpch_q19_disjunctive_revenue": _tpch_q19,
-        "tpch_q22_sales_opportunity": _tpch_q22,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_keep_one": _dedup_keep_one,
-        "asof_purchase_view": _asof_purchase_view,
-        "scd2_user_state": _scd2_user_state,
-        "snapshot_diff_cdc": _snapshot_diff_cdc,
-        "events_value_moments": _events_moments,
-        "events_value_anomalies": _events_anomalies,
-        "ann_lsh_pruned_multiprobe": _ann_lsh_pruned_multiprobe,
-        "quantile_sketch": _quantile_sketch,
-        "quantile_sketch_merge": _quantile_sketch_merge,
-        "events_first_crossing": _events_first_crossing,
-        # --- outside the window (driver-checked in earlier rounds, or
-        # verified by the local gate at sf0.001/0.01/0.1) ------------
         "merge_upsert_snapshot": _merge_upsert_snapshot,
         "tfidf_top_terms": _tfidf_top_terms,
         "bm25_search": _bm25_search,
         "fuzzy_vocab_pairs": _fuzzy_vocab_pairs,
         "duplicate_token_windows": _duplicate_windows,
-        "f7_tagged_projection": _f7_tagged_projection,
-        "j1_equi_join": _j1_equi_join,
-        "j3_anti_join": _j3_anti_join,
-        "a2_merged_chapters": _a2_merged_chapters,
-        "w2_row_number": _w2_row_number,
-        "a3_counts": _a3_counts,
-        "t8_id_derivation": _t8_id_derivation,
-        "text_token_counts": _text_token_counts,
-        "text_quality_punct": _text_quality_punct,
-        "dedup_exact": _dedup_exact,
-        "events_hourly": _events_hourly,
-        "ann_bruteforce_cosine": _ann_bruteforce,
-        "ann_lsh_planted": _ann_lsh_planted,
-        "ann_ivf_cosine": _ann_ivf,
-        "dedup_ngram_jaccard": _ngram_jaccard,
-        "dedup_minhash_containment": _minhash_containment,
-        "dedup_simhash_containment": _simhash_containment,
-        "embedding_near_dups_exact": _embedding_near_dups_exact,
-        "lang_id_heuristic": _lang_id,
-        "quality_scores": _quality_scores,
-        "paragraph_dedup": _paragraph_dedup,
-        "lm_unigram_scores": _lm_unigram_scores,
-        "pack_shards_manifest": _pack_shards_manifest,
-        "events_value_quantiles": _events_quantiles,
-        "url_host_stats": _url_host_stats,
-        "tpch_q1_pricing_summary": _tpch_q1,
-        "tpch_q3_shipping_priority": _tpch_q3,
-        "tpch_q6_revenue_filter": _tpch_q6,
-        "text_tokens_bpe": _text_tokens_bpe,
-        "doc_fingerprints": _fingerprints,
-        "image_metadata": _image_metadata,
-        "corpus_split": _corpus_split,
-        "repetition_metrics": _repetition_metrics,
-        "pii_redaction": _pii_redaction,
-        "decontamination": _decontamination,
-        "embedding_near_dups": _embedding_near_dups,
-        "curate_documents": _curate_documents,
         "events_rollup": _events_rollup,
         "retention_cohorts": _retention_cohorts,
         "kmeans_assignments": _kmeans_assignments,
@@ -3161,11 +3082,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_fraction": _contamination_fraction,
         "normalized_text": _normalized_text,
         "domain_blocklist_filter": _domain_blocklist_filter,
+        "quantile_sketch": _quantile_sketch,
+        "quantile_sketch_merge": _quantile_sketch_merge,
+        "events_first_crossing": _events_first_crossing,
+        "ann_lsh_pruned_multiprobe": _ann_lsh_pruned_multiprobe,
+        "w2_row_number": _w2_row_number,
+        "events_value_quantiles": _events_quantiles,
+        "a3_counts": _a3_counts,
+        "events_value_moments": _events_moments,
+        "tier_extraction": _tier_extraction,
+        # --- outside the window: all driver-checked in rounds 1-4
+        # (union of CORRECTNESS_r01-r04 windows) and continuously
+        # re-verified by the local gate at sf0.001/0.01/0.1 ----------
+        "tpch_q2_min_cost_supplier": _tpch_q2,
+        "tpch_q9_product_profit": _tpch_q9,
+        "tpch_q11_important_stock": _tpch_q11,
+        "tpch_q15_top_supplier": _tpch_q15,
+        "tpch_q16_part_supplier_counts": _tpch_q16,
+        "tpch_q20_excess_stock": _tpch_q20,
+        "tpch_q21_waiting_suppliers": _tpch_q21,
+        "ann_ivf_pruned_probe": _ann_ivf_pruned,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "host_triangles": _host_triangles,
+        "decontamination_bloom": _decontamination_bloom,
+        "cms_segment_merge": _cms_segment_merge,
+        "distinct_words_linear_counting": _distinct_words_linear_counting,
+        "bpe_train_merges": _bpe_merges,
+        "bpe_encoded_tokens": _bpe_encoded_tokens,
+        "inverted_postings": _inverted_postings,
+        "postings_segment_merge": _postings_segment_merge,
+        "quality_classifier_scores": _quality_classifier,
+        "quality_classifier_bigrams": _quality_classifier_bigrams,
+        "host_pagerank": _host_pagerank,
+        "warc_roundtrip": _warc_roundtrip,
+        "tpch_q4_priority_count": _tpch_q4,
+        "tpch_q5_local_supplier": _tpch_q5,
+        "tpch_q7_two_nation_volume": _tpch_q7,
+        "tpch_q8_market_share": _tpch_q8,
+        "tpch_q10_returned_items": _tpch_q10,
+        "tpch_q12_priority_classes": _tpch_q12,
+        "tpch_q13_order_distribution": _tpch_q13,
+        "tpch_q14_promo_revenue": _tpch_q14,
+        "tpch_q17_small_quantity": _tpch_q17,
+        "tpch_q18_large_orders": _tpch_q18,
+        "tpch_q19_disjunctive_revenue": _tpch_q19,
+        "tpch_q22_sales_opportunity": _tpch_q22,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_one": _dedup_keep_one,
+        "asof_purchase_view": _asof_purchase_view,
+        "scd2_user_state": _scd2_user_state,
+        "snapshot_diff_cdc": _snapshot_diff_cdc,
+        "events_value_anomalies": _events_anomalies,
+        "f7_tagged_projection": _f7_tagged_projection,
+        "j1_equi_join": _j1_equi_join,
+        "j3_anti_join": _j3_anti_join,
+        "a2_merged_chapters": _a2_merged_chapters,
+        "t8_id_derivation": _t8_id_derivation,
+        "text_token_counts": _text_token_counts,
+        "text_quality_punct": _text_quality_punct,
+        "dedup_exact": _dedup_exact,
+        "events_hourly": _events_hourly,
+        "ann_bruteforce_cosine": _ann_bruteforce,
+        "ann_lsh_planted": _ann_lsh_planted,
+        "ann_ivf_cosine": _ann_ivf,
+        "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_minhash_containment": _minhash_containment,
+        "dedup_simhash_containment": _simhash_containment,
+        "embedding_near_dups_exact": _embedding_near_dups_exact,
+        "lang_id_heuristic": _lang_id,
+        "quality_scores": _quality_scores,
+        "paragraph_dedup": _paragraph_dedup,
+        "lm_unigram_scores": _lm_unigram_scores,
+        "pack_shards_manifest": _pack_shards_manifest,
+        "url_host_stats": _url_host_stats,
+        "tpch_q1_pricing_summary": _tpch_q1,
+        "tpch_q3_shipping_priority": _tpch_q3,
+        "tpch_q6_revenue_filter": _tpch_q6,
+        "text_tokens_bpe": _text_tokens_bpe,
+        "doc_fingerprints": _fingerprints,
+        "image_metadata": _image_metadata,
+        "corpus_split": _corpus_split,
+        "repetition_metrics": _repetition_metrics,
+        "pii_redaction": _pii_redaction,
+        "decontamination": _decontamination,
+        "embedding_near_dups": _embedding_near_dups,
+        "curate_documents": _curate_documents,
         # --- no-oracle tail (seeded-hash LSH; rows-only check) ------
         "ann_lsh_cosine": _ann_lsh,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
+
     }
 
 

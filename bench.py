@@ -68,6 +68,41 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _best_of(fn, repeats: int = 3) -> float:
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
+
+
+def flagship_breakdown(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage attribution for the flagship (VERDICT r4 #2): time a
+    noop write of each prefix of the pipeline so the JSON names where
+    a wall-clock delta lives — parquet scan, +ArrowEvalPython payload
+    synthesis (pandas UDF), +MapInArrow recognition, +final groupBy
+    assembly.  Each prefix is warmed once then best-of-3, same
+    estimator as the headline numbers."""
+    import __spark_entry__ as entry_mod
+    from google_vision_ocr_spark.plans.fused import process_items
+    from google_vision_ocr_spark.sources.documents import documents_to_pages
+
+    docs = entry_mod._t(spark, sf_dir, "documents")
+    stages = {
+        "scan": docs.select("doc_id", "text", "lang"),
+        "pages_udf": documents_to_pages(docs).select("url", "html"),
+        "recognize": process_items(documents_to_pages(docs), "html"),
+        "full": entry_mod._flagship(spark, sf_dir),
+    }
+    out: dict[str, float] = {}
+    for name, df in stages.items():
+        run_query(df)  # warm
+        out[name] = _best_of(lambda d=df: run_query(d))
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from google_vision_ocr_spark.session import get_spark
@@ -113,6 +148,7 @@ def main() -> None:
         el = time.perf_counter() - t0
         spark_control = el if spark_control is None else min(spark_control, el)
     spark_control = round(spark_control, 3)
+    stages = flagship_breakdown(spark, sf_dir)
     control = hardware_control()
     print(json.dumps({
         "metric": "headline query wall time (local[{}])".format(cpus),
@@ -124,6 +160,7 @@ def main() -> None:
         "control_ref_sec": CONTROL_REF_SEC,
         "spark_control_sec": spark_control,
         "spark_control_ref_sec": SPARK_CONTROL_REF_SEC,
+        "flagship_stages": stages,
     }))
     spark.stop()
 
