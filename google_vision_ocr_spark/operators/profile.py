@@ -44,7 +44,10 @@ def equi_depth_histogram(
     56k-cent metric has ≤56k distinct cents at any corpus size), not
     by the row count.  For genuinely unbounded domains pre-bucket the
     domain coarsely first; the histogram of a quality score, price,
-    length, or ratio is domain-bounded."""
+    length, or ratio is domain-bounded.  For quantiles over unbounded
+    domains at 100 TB the mergeable log-bucket sketch is the path
+    (operators/sketch.py::quantile_sketch_build — fixed counter count,
+    per-segment merge, same gate-proofed determinism)."""
     from pyspark.sql import Window
 
     cents = F.round(F.col(col) * unit).cast("bigint")

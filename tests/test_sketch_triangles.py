@@ -109,3 +109,56 @@ def test_cms_merge_equals_full_build(spark):
     m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     f = {(r["row"], r["bucket"]): r["cnt"] for r in full.collect()}
     assert m == f
+
+
+def test_merge_of_empty_sketch_list_raises():
+    import pytest as _pytest
+
+    from google_vision_ocr_spark.operators.sketch import (
+        count_min_merge,
+        quantile_sketch_merge,
+    )
+
+    with _pytest.raises(ValueError):
+        count_min_merge([])
+    with _pytest.raises(ValueError):
+        quantile_sketch_merge([])
+
+
+def test_quantile_sketch_merge_equals_full_build(spark):
+    from google_vision_ocr_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_quantiles,
+    )
+
+    rows = [(i, "a" if i % 3 else "b", float(i) * 1.37 - 40.0)
+            for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "event_id bigint, k string, value double")
+    a = df.filter("event_id % 2 = 0")
+    b = df.filter("event_id % 2 = 1")
+    merged = quantile_sketch_merge([
+        quantile_sketch_build(a, "value", "k"),
+        quantile_sketch_build(b, "value", "k"),
+    ])
+    full = quantile_sketch_build(df, "value", "k")
+    m = {(r["k"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    f = {(r["k"], r["bucket"]): r["cnt"] for r in full.collect()}
+    assert m == f
+    got = {
+        r["k"]: r
+        for r in quantile_sketch_quantiles(merged, "k").collect()
+    }
+    # estimates stay within one bucket (~3.1% relative / exact <32c)
+    # of the true quantiles, and negatives round toward zero via -lo
+    import numpy as np
+
+    for k in ("a", "b"):
+        vals = sorted(v for _, kk, v in rows if kk == k)
+        n = len(vals)
+        for p, col in ((50, "p50_est"), (95, "p95_est")):
+            true = vals[(p * (n - 1)) // 100]
+            est = got[k][col]
+            assert abs(est - true) <= max(0.32, abs(true) * 0.035), (
+                k, col, est, true)
+        assert got[k]["n_events"] == n
