@@ -65,19 +65,18 @@ df.select(F.octet_length("html")).write.format("noop").mode("overwrite").save()
 extract_fused(df.sample(0.15, seed=1)).write.format("noop").mode("overwrite").save()
 extract_fused(df.sample(0.15, seed=2)).write.format("noop").mode("overwrite").save()
 
-
-
-# build + analyze the plan ONCE outside the timed loop: per-iteration
-# plan construction/analysis is a fixed cost that deflates the fast
-# level's ratio disproportionately (VERDICT r5 overhead shave) — a
-# long-running job pays it once, so the steady-state number should too
-out_agg = extract_fused(df).agg(
-    F.count(F.lit(1)).alias("docs"), F.sum("n_pages").alias("pages"),
-    F.sum(F.octet_length("text")).alias("bytes"))
 best = None
 for _ in range(2):  # steady-state: best of 2 in-JVM (what a long job sees)
+    # NOTE: the plan must be REBUILT each iteration — re-collecting
+    # one DataFrame object reuses its already-materialized shuffle
+    # outputs and the "run" finishes in milliseconds without touching
+    # the corpus (measured: 4.2 s first collect, 0.03 s second on the
+    # same object).  The per-iteration plan analysis (~0.2 s) is the
+    # price of a genuine end-to-end execution.
     t0 = time.perf_counter()
-    agg = out_agg.collect()[0]
+    out = extract_fused(df)
+    agg = out.agg(F.count(F.lit(1)).alias("docs"), F.sum("n_pages").alias("pages"),
+                  F.sum(F.octet_length("text")).alias("bytes")).collect()[0]
     elapsed = time.perf_counter() - t0
     if best is None or elapsed < best[0]:
         best = (elapsed, agg)
