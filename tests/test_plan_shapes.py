@@ -335,3 +335,41 @@ def test_cms_build_is_fixed_size_aggregation(spark):
     assert "Window" not in plan
     assert plan.lower().count("exchange") == 1, plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_quantile_sketch_build_is_fixed_size_aggregation(spark):
+    """Like the CMS, the quantile-sketch build must reduce the corpus
+    to its bounded (key, bucket) counters through ONE hash aggregation
+    with map-side partials — bucket assignment is a scan-side integer
+    expression (no Python, no join, no window); only partial counter
+    tables cross the wire."""
+    from google_vision_ocr_spark.operators.sketch import quantile_sketch_build
+
+    df = spark.createDataFrame(
+        [(i, "k" + str(i % 3), float(i) * 0.7) for i in range(60)],
+        "event_id bigint, key string, value double",
+    )
+    plan = _plan(quantile_sketch_build(df, "value", "key"))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan  # bucket code is pure JVM expression
+    assert plan.lower().count("exchange") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_first_crossing_windows_only_partition_by_user(spark):
+    """events_first_crossing may window only on user_id (the bounded
+    events-per-user shape) — never on a data-scale or constant key —
+    and its threshold scalar must arrive via broadcast, not a shuffle
+    of the windowed rows."""
+    import re as _re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["events_first_crossing"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "user_id" in spec, spec
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
