@@ -40,11 +40,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _reap_stale_scratch() -> None:
+    """Remove /tmp/spark_graft_*_<pid> dirs whose owning process is
+    gone (pid-keyed scratch would otherwise accumulate one full
+    IVF/LSH/WARC index copy per finished driver/bench run)."""
+    import glob
+    import re
+    import shutil
+
+    for p in glob.glob("/tmp/spark_graft_*"):
+        m = re.search(r"_(\d+)$", p)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid: leave it
+
+
+_SCRATCH_REAPED = False
+
+
 def _scratch_dir(kind: str, sf_dir: str) -> str:
     """Per-process scratch path for fixture artifacts (IVF index, WARC
     segments): keyed by SF dir AND pid so two concurrent runs over the
     same SF dir never overwrite each other's files mid-read; stable
-    within a process so bench repeats reuse one directory."""
+    within a process so bench repeats reuse one directory.  This
+    process's dirs are removed at interpreter exit, and dirs left by
+    dead pids are reaped on first use, so /tmp never accumulates."""
+    global _SCRATCH_REAPED
+    if not _SCRATCH_REAPED:
+        _SCRATCH_REAPED = True
+        import atexit
+        import shutil
+
+        _reap_stale_scratch()
+
+        def _cleanup_own(pid=os.getpid()):
+            import glob
+            import re
+
+            for p in glob.glob("/tmp/spark_graft_*"):
+                m = re.search(r"_(\d+)$", p)
+                # exact pid match only: the glob alone would also hit a
+                # LIVE sibling whose pid merely ends in ours (1234/234)
+                if m and int(m.group(1)) == pid:
+                    shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup_own)
     base = os.path.basename(os.path.normpath(sf_dir))
     return f"/tmp/spark_graft_{kind}_{base}_{os.getpid()}"
 
@@ -191,6 +236,18 @@ def _a2_merged_chapters(spark, sf_dir):
     )
 
 
+# length(bin(x)) = exact bit length (no float-log2 edge cases); ids
+# with equal bit length order by their top 10 post-leading bits (code
+# in [1024, 2047] per octave, so stride 2048 keeps the combined key
+# monotone across octaves).  Shared with tests/test_scale_features.py
+# which pins the fan-out of clustered id bands on this exact key.
+_W2_BUCKET_SQL = (
+    "CAST(length(bin(doc_id)) * 2048"
+    " + shiftright(doc_id, CAST(greatest(length(bin(doc_id)) - 11, 0)"
+    " AS INT)) AS BIGINT)"
+)
+
+
 def _w2_row_number(spark, sf_dir):
     """Global per-lang sequential numbering WITHOUT a lang-partitioned
     window (5 langs over a web corpus = 5 hot tasks at scale — the
@@ -201,22 +258,16 @@ def _w2_row_number(spark, sf_dir):
     The prefix pass is ONE driver action on a DATA-INDEPENDENT
     order-preserving granulation (r4 used range buckets whose width
     needed a separate max(doc_id) job first — two sequential barriers
-    on the 100× path): bucket = (bit-length of doc_id, top 5 bits
+    on the 100× path): bucket = (bit-length of doc_id, top 10 bits
     after the leading bit).  That key is monotone in doc_id (bucket
-    order ⊆ global order), bounded by construction (≤ 64·32 granules
-    regardless of data), and splits the top octave — half the key
-    range — 32 ways, so window tasks stay ~N/64 for dense ids."""
+    order ⊆ global order), bounded by construction (≤ 64·1024
+    granules regardless of data — the offsets collect stays a few-MB
+    driver scalar), and splits every octave 1024 ways, so an id band
+    clustered in one octave (offset/timestamp-prefixed ids sharing
+    their top bits) still fans out across up to 1024 window tasks;
+    only ids sharing their top ~11 bits land in one granule."""
     d = _t(spark, sf_dir, "documents")
-    # length(bin(x)) = exact bit length (no float-log2 edge cases);
-    # ids with equal bit length order by their top 5 post-leading bits
-    b = d.select(
-        "doc_id", "lang",
-        F.expr(
-            "CAST(length(bin(doc_id)) * 64"
-            " + shiftright(doc_id, CAST(greatest(length(bin(doc_id)) - 6, 0)"
-            " AS INT)) AS BIGINT)"
-        ).alias("__b"),
-    )
+    b = d.select("doc_id", "lang", F.expr(_W2_BUCKET_SQL).alias("__b"))
     counts = [
         (r["lang"], r["__b"], r["n"])
         for r in b.groupBy("lang", "__b")
@@ -2378,11 +2429,14 @@ def _quantile_sketch_merge(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "events")
+    # the two halves must PARTITION the input for merge==rebuild to be
+    # a theorem: Spark's % returns -1 for negative ids, so the odd
+    # half is "!= 0" (catches -1 and 1), never "== 1"
     a = quantile_sketch_build(
         e.filter(F.col("event_id") % 2 == 0), "value", "event_type"
     )
     b = quantile_sketch_build(
-        e.filter(F.col("event_id") % 2 == 1), "value", "event_type"
+        e.filter(F.col("event_id") % 2 != 0), "value", "event_type"
     )
     merged = quantile_sketch_merge([a, b])
     return quantile_sketch_quantiles(merged, "event_type", percents=(50, 95))

@@ -78,28 +78,92 @@ def _best_of(fn, repeats: int = 3) -> float:
     return round(best, 3)
 
 
+def _best_of_builds(build, repeats: int = 3) -> float:
+    """Best-of-N where every timed iteration REBUILDS the DataFrame
+    from its builder before writing it — re-collecting one DataFrame
+    object reuses its materialized shuffle outputs and times nothing
+    (the scaling_bench lesson, commit 29f5ba3; VERDICT r5 found
+    flagship_breakdown had reintroduced it).  Matches main()'s
+    headline protocol exactly: plan construction inside the timed
+    region."""
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_query(build())
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
+
+
 def flagship_breakdown(spark, sf_dir: str) -> dict[str, float]:
     """Per-stage attribution for the flagship (VERDICT r4 #2): time a
     noop write of each prefix of the pipeline so the JSON names where
     a wall-clock delta lives — parquet scan, +ArrowEvalPython payload
     synthesis (pandas UDF), +MapInArrow recognition, +final groupBy
-    assembly.  Each prefix is warmed once then best-of-3, same
-    estimator as the headline numbers."""
+    assembly.  Each prefix is warmed once then best-of-3 with the plan
+    REBUILT per timed iteration (same estimator and protocol as the
+    headline numbers, so ``full`` is directly comparable to the
+    headline flagship).  ``plan_build`` times DataFrame construction +
+    analysis alone — the part of every headline number that is driver
+    CPU, not cluster work."""
     import __spark_entry__ as entry_mod
     from google_vision_ocr_spark.plans.fused import process_items
     from google_vision_ocr_spark.sources.documents import documents_to_pages
 
-    docs = entry_mod._t(spark, sf_dir, "documents")
-    stages = {
-        "scan": docs.select("doc_id", "text", "lang"),
-        "pages_udf": documents_to_pages(docs).select("url", "html"),
-        "recognize": process_items(documents_to_pages(docs), "html"),
-        "full": entry_mod._flagship(spark, sf_dir),
+    def docs():
+        return entry_mod._t(spark, sf_dir, "documents")
+
+    builders = {
+        "scan": lambda: docs().select("doc_id", "text", "lang"),
+        "pages_udf": lambda: documents_to_pages(docs()).select("url", "html"),
+        "recognize": lambda: process_items(documents_to_pages(docs()), "html"),
+        "full": lambda: entry_mod._flagship(spark, sf_dir),
     }
     out: dict[str, float] = {}
-    for name, df in stages.items():
-        run_query(df)  # warm
-        out[name] = _best_of(lambda d=df: run_query(d))
+    for name, build in builders.items():
+        run_query(build())  # warm
+        out[name] = _best_of_builds(build)
+    # plan construction + analysis only (no job): PySpark analyzes
+    # eagerly per transformation, so building the frame captures it
+    out["plan_build"] = _best_of(lambda: entry_mod._flagship(spark, sf_dir))
+    return out
+
+
+def minhash_breakdown(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage attribution for dedup_minhash_lsh (VERDICT r5 watch
+    item): signature pandas-UDF pass, +band explode, full banded
+    self-join + dedup (single-lineage, no signature cache — the
+    stages are prefixes of one plan).  ``full_cached`` mirrors the
+    headline protocol (persisted signatures, warm cache), so it is
+    the number to reconcile against the headline entry."""
+    import __spark_entry__ as entry_mod
+    from google_vision_ocr_spark import cache
+    from google_vision_ocr_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    def docs():
+        return entry_mod._t(spark, sf_dir, "documents")
+
+    cache.release_all()  # stages must not read a leftover cache
+    builders = {
+        "signatures_udf": lambda: minhash_signatures(docs()),
+        "banded_explode": lambda: minhash_banded(minhash_signatures(docs())),
+        "join_pairs": lambda: minhash_lsh_pairs(docs()),
+    }
+    out: dict[str, float] = {}
+    for name, build in builders.items():
+        run_query(build())  # warm
+        out[name] = _best_of_builds(build)
+        cache.release_all()
+    qs = entry_mod.queries()
+    run_query(qs["dedup_minhash_lsh"](spark, sf_dir))  # warm (fills cache)
+    out["full_cached"] = _best_of_builds(
+        lambda: qs["dedup_minhash_lsh"](spark, sf_dir)
+    )
+    cache.release_all()
     return out
 
 
@@ -149,6 +213,7 @@ def main() -> None:
         spark_control = el if spark_control is None else min(spark_control, el)
     spark_control = round(spark_control, 3)
     stages = flagship_breakdown(spark, sf_dir)
+    mh_stages = minhash_breakdown(spark, sf_dir)
     control = hardware_control()
     print(json.dumps({
         "metric": "headline query wall time (local[{}])".format(cpus),
@@ -161,6 +226,7 @@ def main() -> None:
         "spark_control_sec": spark_control,
         "spark_control_ref_sec": SPARK_CONTROL_REF_SEC,
         "flagship_stages": stages,
+        "minhash_stages": mh_stages,
     }))
     spark.stop()
 

@@ -42,11 +42,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _spark_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
+def _spark_halfup_from_qr(
+    q_sql: str, r_sql: str, den_sql: str, digits: int
+) -> str:
+    """Core seed-and-correct form over a pre-split ratio: ``q_sql`` /
+    ``r_sql`` are int64 fragments with ``q >= 0`` and ``0 <= r < den``
+    (the decomposition ``num = q*den + r``).  Exposed separately so the
+    signed variant can feed ``(-q, -r)`` for negative numerators
+    without ever negating ``num`` itself (``-(INT64_MIN)`` wraps
+    silently under Spark non-ANSI int64)."""
     s = 10**digits
     dec = "CAST({} AS DECIMAL(38,0))"
-    q = f"(({num_sql}) DIV ({den_sql}))"
-    r = f"(({num_sql}) % ({den_sql}))"
+    q = f"({q_sql})"
+    r = f"({r_sql})"
     two_sr = f"({dec.format(f'({r})')} * {2 * s})"
     m0 = (
         f"CAST(floor({s}.0D * CAST({r} AS DOUBLE)"
@@ -68,6 +76,15 @@ def _spark_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
     )
 
 
+def _spark_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
+    return _spark_halfup_from_qr(
+        f"(({num_sql}) DIV ({den_sql}))",
+        f"(({num_sql}) % ({den_sql}))",
+        den_sql,
+        digits,
+    )
+
+
 def halfup_ratio(num_sql: str, den_sql: str, digits: int) -> Column:
     """``round(num/den, digits)`` by integer half-up rounding.
 
@@ -80,18 +97,35 @@ def halfup_ratio(num_sql: str, den_sql: str, digits: int) -> Column:
 
 def halfup_ratio_signed(num_sql: str, den_sql: str, digits: int) -> Column:
     """Sign-aware variant (half AWAY FROM ZERO, both engines' round
-    semantics) for numerators that can be negative."""
+    semantics) for numerators that can be negative.  Genuinely full
+    int64 range: the negative branch runs the core form on
+    ``(-q, -r)`` from the original ``num DIV den`` / ``num % den``
+    split (both truncate toward zero on both engines, so ``-q >= 0``
+    and ``0 <= -r < den``), never on ``-num`` — ``-(INT64_MIN)``
+    would silently wrap under Spark's non-ANSI int64.  The one value
+    where even ``-q`` overflows (num = INT64_MIN with den = 1) has
+    ``r = 0``, so it short-circuits to the exact cast ``CAST(num AS
+    DOUBLE)`` (identical on both engines)."""
     pos = _spark_halfup_sql(f"({num_sql})", den_sql, digits)
-    neg = _spark_halfup_sql(f"(-({num_sql}))", den_sql, digits)
+    neg = _spark_halfup_from_qr(
+        f"(-(({num_sql}) DIV ({den_sql})))",
+        f"(-(({num_sql}) % ({den_sql})))",
+        den_sql,
+        digits,
+    )
     return F.expr(
-        f"CASE WHEN ({num_sql}) >= 0 THEN {pos} ELSE -({neg}) END"
+        f"CASE WHEN ({num_sql}) >= 0 THEN {pos}"
+        f" WHEN ({den_sql}) = 1 THEN CAST(({num_sql}) AS DOUBLE)"
+        f" ELSE -({neg}) END"
     )
 
 
-def _duck_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
+def _duck_halfup_from_qr(
+    q_sql: str, r_sql: str, den_sql: str, digits: int
+) -> str:
     s = 10**digits
-    q = f"(({num_sql}) // ({den_sql}))"
-    r = f"(({num_sql}) % ({den_sql}))"
+    q = f"({q_sql})"
+    r = f"({r_sql})"
     two_sr = f"(CAST(({r}) AS HUGEINT) * {2 * s})"
     m0 = (
         f"CAST(floor({s}.0 * CAST({r} AS DOUBLE)"
@@ -113,6 +147,15 @@ def _duck_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
     )
 
 
+def _duck_halfup_sql(num_sql: str, den_sql: str, digits: int) -> str:
+    return _duck_halfup_from_qr(
+        f"(({num_sql}) // ({den_sql}))",
+        f"(({num_sql}) % ({den_sql}))",
+        den_sql,
+        digits,
+    )
+
+
 def halfup_ratio_sql(num_sql: str, den_sql: str, digits: int) -> str:
     """DuckDB twin of :func:`halfup_ratio` (HUGEINT products, same
     seed-and-correct scheme)."""
@@ -120,11 +163,20 @@ def halfup_ratio_sql(num_sql: str, den_sql: str, digits: int) -> str:
 
 
 def halfup_ratio_signed_sql(num_sql: str, den_sql: str, digits: int) -> str:
-    """DuckDB twin of :func:`halfup_ratio_signed`."""
+    """DuckDB twin of :func:`halfup_ratio_signed` (DuckDB ``//`` and
+    ``%`` also truncate toward zero, verified: ``-7 // 2 = -3``,
+    ``-7 % 2 = -1`` — same ``(q, r)`` split as Spark)."""
     pos = _duck_halfup_sql(f"({num_sql})", den_sql, digits)
-    neg = _duck_halfup_sql(f"(-({num_sql}))", den_sql, digits)
+    neg = _duck_halfup_from_qr(
+        f"(-(({num_sql}) // ({den_sql})))",
+        f"(-(({num_sql}) % ({den_sql})))",
+        den_sql,
+        digits,
+    )
     return (
-        f"CASE WHEN ({num_sql}) >= 0 THEN {pos} ELSE -({neg}) END"
+        f"CASE WHEN ({num_sql}) >= 0 THEN {pos}"
+        f" WHEN ({den_sql}) = 1 THEN CAST(({num_sql}) AS DOUBLE)"
+        f" ELSE -({neg}) END"
     )
 
 

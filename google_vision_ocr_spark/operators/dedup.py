@@ -127,6 +127,38 @@ def minhash_signatures(
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("minhash"))
 
 
+def minhash_banded(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The banded ``(id, minhash, band, band_hash)`` projection of a
+    :func:`minhash_signatures` table — the explode side of the LSH
+    bucket self-join.  Split out of :func:`minhash_lsh_pairs` so bench
+    stage-breakdowns can time signature-UDF / band-explode / join
+    separately (same expressions, so the composition is unchanged)."""
+    rows_per_band = n_perm // bands
+    return sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), band * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -148,28 +180,10 @@ def minhash_lsh_pairs(
     expensive stage.  Locally Catalyst keeps both sides as one scan
     lineage, so the default is fine for tests.
     """
-    rows_per_band = n_perm // bands
     sigs = signatures if signatures is not None else minhash_signatures(
         df, id_col, text_col, n_perm, k, seed
     )
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("minhash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("minhash"), band * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = minhash_banded(sigs, id_col=id_col, n_perm=n_perm, bands=bands)
     left = banded.select(
         F.col("band"), F.col("band_hash"),
         F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"),

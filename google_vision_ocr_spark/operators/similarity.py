@@ -93,20 +93,45 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
 
+def _code_from_planes(planes: np.ndarray, arr: np.ndarray, n_planes: int) -> int:
+    """The LSH code of one vector — shared by the executor-side UDF and
+    the driver-side probe planners so a probe's ball provably matches
+    the index's codes (same float64 matmul, same bit packing)."""
+    bits = (planes @ arr) > 0
+    return int(
+        bits.astype(np.uint64)
+        @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+    )
+
+
 def make_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
     """One 64-bit LSH code per table, packed into an array column."""
     planes = _planes(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        def one(v) -> int:
-            arr = np.asarray(v, dtype=np.float64)
-            bits = (planes @ arr) > 0
-            return int(bits.astype(np.uint64) @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)))
-
-        return vecs.map(one)
+        return vecs.map(
+            lambda v: _code_from_planes(
+                planes, np.asarray(v, dtype=np.float64), n_planes
+            )
+        )
 
     return bucket_udf
+
+
+def _fetch_query_vec(
+    embeddings: DataFrame, query_id: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """ONE driver action per probe: fetch the query row's vector (and
+    with it the dim), with a clear error when the id is absent — the
+    bare ``first()[...]`` pattern raised an opaque ``TypeError`` on a
+    missing query_id and cost a second action when dim was unset."""
+    row = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"query_id {query_id!r} not found in column {id_col!r}"
+        )
+    return np.asarray(row[0], dtype=np.float64)
 
 
 def embedding_near_dup_pairs(
@@ -590,18 +615,18 @@ def lsh_probe_pruned(
     code plus its ``n_planes`` single-bit flips are ``1 + n_planes``
     literal partition values — the scan reads only that Hamming ball's
     directories, never the full table."""
+    qvec = _fetch_query_vec(embeddings, query_id, id_col, vec_col)
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    udf = make_bucket_udf(dim, n_planes, seed)
-    qrow = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__q"), udf(F.col(vec_col)).alias("__qc")
-    )
-    qc = qrow.select("__qc").first()["__qc"]
+        dim = qvec.size
+    qc = _code_from_planes(_planes(dim, n_planes, seed), qvec, n_planes)
     ball = [qc] + [qc ^ (1 << b) for b in range(n_planes)]
     idx = spark.read.parquet(index_path).filter(F.col("code").isin(ball))
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
     return (
         idx.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(qrow.select("__q")))
+        .crossJoin(F.broadcast(qrow))
         .select(F.col(id_col), _cosine_col(vec_col, "__q").alias("__sim"))
         .orderBy(F.col("__sim").desc(), F.col(id_col))
         .limit(k)
@@ -668,16 +693,14 @@ def lsh_multiprobe_pruned(
     from itertools import combinations
     from operator import or_
 
+    qvec = _fetch_query_vec(embeddings, query_id, id_col, vec_col)
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    q = embeddings.filter(F.col(id_col) == query_id)
-    for t in range(n_tables):
-        udf = make_bucket_udf(dim, n_planes, seed + 1000 * t)
-        q = q.withColumn(f"__qc{t}", udf(F.col(vec_col)))
-    qr = q.select(*[f"__qc{t}" for t in range(n_tables)]).first()
+        dim = qvec.size
     preds = []
     for t in range(n_tables):
-        qc = qr[f"__qc{t}"]
+        qc = _code_from_planes(
+            _planes(dim, n_planes, seed + 1000 * t), qvec, n_planes
+        )
         ball = [qc] + [
             qc ^ sum(1 << b for b in bits)
             for r in range(1, radius + 1)

@@ -655,3 +655,73 @@ def test_halfup_ratio_full_int64_range(spark, cases):
         exp = [_halfup_expected(n, dn, digits) for n, dn in sub]
         assert got_spark == exp, (digits, sub)
         assert got_duck == exp, (digits, sub)
+
+
+def _halfup_signed_expected(num, den, digits):
+    # half-away-from-zero ≡ negated half-up of |num| (Python ints are
+    # unbounded, so -num is exact even at INT64_MIN; IEEE negation of
+    # the positive result is exact too)
+    if num >= 0:
+        return _halfup_expected(num, den, digits)
+    return -_halfup_expected(-num, den, digits)
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(-(2 ** 63), 2 ** 63 - 1),
+            st.integers(1, 2 ** 63 - 1),
+            st.sampled_from([0, 2, 4, 6]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_halfup_ratio_signed_full_int64_range(spark, cases):
+    """halfup_ratio_signed / halfup_ratio_signed_sql over the FULL
+    signed int64 domain INCLUDING num = INT64_MIN: the r5 advisor
+    found the old negative branch negated num itself, silently
+    wrapping -(-2^63) under Spark non-ANSI; the rewrite works on
+    (-q, -r) with a den=1 exact-cast guard, and this sweep pins
+    Spark == DuckDB == the exact integer reference."""
+    import duckdb
+
+    from google_vision_ocr_spark.functions.exact import (
+        halfup_ratio_signed,
+        halfup_ratio_signed_sql,
+    )
+
+    cases = cases + [
+        (-(2 ** 63), 1, 2),            # the advisor's overflow point
+        (-(2 ** 63), 1, 0),
+        (-(2 ** 63), 3, 4),            # -q path at extreme magnitude
+        (-(2 ** 63), 2 ** 63 - 1, 6),
+        (-(2 ** 63) + 1, 1, 2),
+        (-7996807223210584435, 971, 6),
+        (-15, 4, 0),                   # tie: -3.75 -> -4 away from zero
+        (-5, 2, 0),
+        (-1, 3, 2),
+    ]
+    con = duckdb.connect()
+    for digits in sorted({d for _, _, d in cases}):
+        sub = [(n, dn) for n, dn, d in cases if d == digits]
+        df = spark.createDataFrame(sub, "num bigint, den bigint")
+        got_spark = [
+            r.v
+            for r in df.select(
+                halfup_ratio_signed("num", "den", digits).alias("v")
+            ).collect()
+        ]
+        got_duck = [
+            con.execute(
+                "SELECT "
+                + halfup_ratio_signed_sql(
+                    f"CAST({n} AS BIGINT)", str(dn), digits
+                )
+            ).fetchone()[0]
+            for n, dn in sub
+        ]
+        exp = [_halfup_signed_expected(n, dn, digits) for n, dn in sub]
+        assert got_spark == exp, (digits, sub)
+        assert got_duck == exp, (digits, sub)

@@ -186,3 +186,28 @@ def test_lsh_multiprobe_prunes_every_table_branch(spark, emb, tmp_path):
         ).collect()
     ]
     assert got == mem
+
+
+def test_pruned_probes_missing_query_id_raises(spark, emb, tmp_path):
+    """A probe for an absent query_id must raise a clear ValueError,
+    not an opaque NoneType crash — and the fetch is ONE driver action
+    (vector + dim from the same first())."""
+    import pytest
+
+    from google_vision_ocr_spark.operators.similarity import (
+        lsh_multiprobe_pruned,
+        lsh_probe_pruned,
+        write_lsh_index,
+        write_lsh_multi_index,
+    )
+
+    p1 = str(tmp_path / "lsh1")
+    pm = str(tmp_path / "lshm")
+    write_lsh_index(emb, p1, n_planes=8, seed=42, dim=64)
+    write_lsh_multi_index(emb, pm, n_tables=2, n_planes=8, seed=42, dim=64)
+    with pytest.raises(ValueError, match="query_id"):
+        lsh_probe_pruned(spark, emb, p1, query_id=10**9, n_planes=8, dim=64)
+    with pytest.raises(ValueError, match="query_id"):
+        lsh_multiprobe_pruned(
+            spark, emb, pm, query_id=10**9, n_tables=2, n_planes=8, dim=64
+        )

@@ -83,6 +83,42 @@ def test_w2_handles_null_lang_and_empty_input(spark, tmp_path):
     assert e.queries()["w2_row_number"](spark, empty).count() == 0
 
 
+def test_w2_clustered_id_band_fans_out(spark, tmp_path):
+    """A corpus whose ids all share their top bits (offset/timestamp-
+    prefixed id bands — the ADVICE r5 hot-task scenario) must still
+    split across many granules: the top-10-post-leading-bits key gives
+    every octave 1024 sub-granules, so only ids agreeing in their top
+    ~11 bits share a window task.  Also re-checks numbering stays the
+    plain per-lang row_number on such ids (bucket key monotone)."""
+    import __spark_entry__ as e
+
+    base, step, n = 3 << 50, 1 << 41, 192  # bitlen 52 for every id
+    ids = [base + i * step for i in range(n)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "en" if i % (3 * step) else "de") for i in ids],
+        "doc_id bigint, lang string",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    # granule fan-out on the REAL key expression (shared constant)
+    buckets = (
+        spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        .select(F.expr(e._W2_BUCKET_SQL).alias("b"), "doc_id")
+        .collect()
+    )
+    distinct = {r.b for r in buckets}
+    assert len(distinct) >= 64, len(distinct)
+    # monotone: bucket order never contradicts id order
+    by_id = sorted(buckets, key=lambda r: r.doc_id)
+    assert all(a.b <= b.b for a, b in zip(by_id, by_id[1:]))
+
+    got = {r.doc_id: (r.lang, r.rn)
+           for r in e.queries()["w2_row_number"](spark, d).collect()}
+    for lang in ("en", "de"):
+        ranked = sorted(i for i in ids if got[i][0] == lang)
+        assert [got[i][1] for i in ranked] == list(range(1, len(ranked) + 1))
+
+
 def test_linear_counting_saturation_and_empty(spark):
     """Bitmap saturation yields a NULL estimate (not an ln(0) crash);
     empty input yields occupancy 0."""
