@@ -103,6 +103,7 @@ from google_vision_ocr_spark.functions.exact import (  # noqa: E402
     halfup_ratio_signed_sql as _halfup_ratio_signed_sql,
     halfup_ratio_sql as _halfup_ratio_sql,
 )
+from google_vision_ocr_spark.operators import replayable as _replayable  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -446,10 +447,21 @@ def _ann_bruteforce(spark, sf_dir):
 
 
 def _ann_lsh(spark, sf_dir):
-    from google_vision_ocr_spark.operators.similarity import hyperplane_lsh_topk
+    """OR-amplified hyperplane-LSH top-10 with REPLAYABLE randomness
+    (r6, VERDICT r5 #3): plane (t, b) is a ±1 Rademacher normal from
+    the jl_projection integer-hash sign trick, codes are left-fold
+    expressions — the DuckDB oracle replays codes, the any-table
+    Hamming filter, and the cosine rerank, so this family finally
+    carries hash evidence (partial recall and all).  The seeded numpy
+    family stays in the library (similarity.hyperplane_lsh_topk,
+    pytest + ann_lsh_planted twin)."""
+    from google_vision_ocr_spark.operators.replayable import (
+        hyperplane_lsh_topk_replayable,
+    )
 
-    return hyperplane_lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10,
-                               dim=64)
+    return hyperplane_lsh_topk_replayable(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, dim=64
+    )
 
 
 def _ann_ivf(spark, sf_dir):
@@ -556,27 +568,46 @@ def _ann_lsh_pruned_multiprobe(spark, sf_dir):
 
 
 def _minhash_pairs(spark, sf_dir):
-    from google_vision_ocr_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signatures,
+    """Banded MinHash-LSH near-dup pairs with REPLAYABLE randomness
+    (r6, VERDICT r5 #3): shingle hashes are 60-bit md5 folds, the
+    permutations a universal-hash family mod 2^31−1 with integer-hash
+    parameters — every step replays in the DuckDB oracle, which states
+    the declarative pair spec (∃ band with equal components) and so
+    independently proves the banding join lossless.  All JVM
+    expressions (the seeded numpy/blake2b family stays in the library
+    — operators/dedup.py:minhash_lsh_pairs — pytest + containment-twin
+    covered).  Same at-scale pattern: signatures materialized once so
+    the banded self-join reads the cache instead of hashing every
+    shingle once per side."""
+    from google_vision_ocr_spark.operators.replayable import (
+        minhash_lsh_pairs_replayable,
+        minhash_signatures_replayable,
     )
 
     from google_vision_ocr_spark import cache
 
     d = _t(spark, sf_dir, "documents")
-    # at-scale pattern: materialize signatures once so the banded
-    # self-join reads the cache instead of running the UDF per side
-    # (the eager count avoids the two join stages racing the cache);
-    # tracked in the cache registry so bench/session loops can release
-    sigs = cache.track(minhash_signatures(d).persist())
+    sigs = cache.track(minhash_signatures_replayable(d).persist())
     sigs.count()
-    return minhash_lsh_pairs(d, signatures=sigs)
+    return minhash_lsh_pairs_replayable(d, signatures=sigs)
 
 
 def _simhash_pairs(spark, sf_dir):
-    from google_vision_ocr_spark.operators.dedup import simhash_candidates
+    """SimHash near-dup pairs at hamming ≤ 10 with REPLAYABLE
+    randomness (r6): 60-bit md5-fold token hashes, majority-bit code,
+    the seeded family's pigeonhole-lossless banding (signatures=
+    path).  The oracle states the exact spec — every (a < b) pair
+    with bit_count(xor) ≤ 10 — over a cross join at gate scale, so a
+    lossy banding bug would hash-fail.  Seeded 64-bit family remains
+    at operators/dedup.py:simhash_candidates (pytest + containment
+    twin)."""
+    from google_vision_ocr_spark.operators.replayable import (
+        simhash_candidates_replayable,
+    )
 
-    return simhash_candidates(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_candidates_replayable(
+        _t(spark, sf_dir, "documents"), max_hamming=10
+    )
 
 
 def _lang_id(spark, sf_dir):
@@ -1031,9 +1062,17 @@ def _contamination_fraction(spark, sf_dir):
 
 
 def _lsh_bucket_histogram(spark, sf_dir):
-    from google_vision_ocr_spark.operators.similarity import lsh_bucket_histogram
+    """Bucket-occupancy histogram over REPLAYABLE table-0 codes (r6)
+    — the balance check a deployment watches, now with a full DuckDB
+    oracle (seeded variant: similarity.lsh_bucket_histogram,
+    pytest-covered)."""
+    from google_vision_ocr_spark.operators.replayable import (
+        lsh_bucket_histogram_replayable,
+    )
 
-    return lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"), dim=64)
+    return lsh_bucket_histogram_replayable(
+        _t(spark, sf_dir, "embeddings"), dim=64
+    )
 
 
 # Deterministic near-duplicate planting for the embedding-LSH recall test.
@@ -5920,11 +5959,23 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                    t.threshold
             FROM r, t WHERE r.rn = t.threshold
         """,
-        # ann_lsh_cosine, dedup_minhash_lsh, dedup_simhash,
-        # lsh_bucket_histogram: seeded-hash / random-hyperplane
-        # semantics, not ANSI-SQL-expressible -> rows-only checks;
-        # their exact baselines (dedup_ngram_jaccard,
-        # embedding_near_dups_exact, ann_bruteforce_cosine) and the
-        # planted-recall twin (embedding_near_dups) ARE oracle-checked
-        # above.
+        # The four formerly-rows-only LSH entries (VERDICT r5 #3): r6
+        # re-derived their randomness from md5 folds + the integer-
+        # hash sign trick, so the oracles replay every signature and
+        # state each pair set's declarative spec (operators/
+        # replayable.py builds the SQL; the seeded numpy/blake2b
+        # families remain in the library under pytest + twins).
+        "ann_lsh_cosine": _replayable.ann_lsh_oracle_sql(
+            query_id=0, k=10, n_planes=12, n_tables=4,
+            hamming_radius=3, dim=64,
+        ),
+        "dedup_minhash_lsh": _replayable.minhash_pairs_oracle_sql(
+            n_perm=64, bands=16, k=3,
+        ),
+        "dedup_simhash": _replayable.simhash_pairs_oracle_sql(
+            max_hamming=10,
+        ),
+        "lsh_bucket_histogram": _replayable.bucket_histogram_oracle_sql(
+            n_planes=12, dim=64,
+        ),
     }

@@ -236,7 +236,8 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3, seed: int = 42,
                        materialize: bool = False,
-                       n_bands: int | None = None) -> DataFrame:
+                       n_bands: int | None = None,
+                       signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band-block then exact hamming filter.
 
     Blocking is pigeonhole-lossless when ``n_bands > max_hamming``: a
@@ -260,7 +261,13 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         raise ValueError(
             f"blocking is lossy: n_bands={n_bands} must exceed max_hamming={max_hamming}"
         )
-    sigs = simhash_64(df, id_col, text_col, seed)
+    # signatures= swaps the hash family (e.g. the SQL-replayable 60-bit
+    # SimHash in operators/replayable.py) while keeping the lossless
+    # banding + exact-hamming pipeline; same pattern as
+    # minhash_lsh_pairs(signatures=...)
+    sigs = signatures if signatures is not None else simhash_64(
+        df, id_col, text_col, seed
+    )
     if materialize:
         from .. import cache
 
