@@ -3120,20 +3120,83 @@ def _tier_extraction(spark, sf_dir):
     )
 
 
+# The driver's CORRECTNESS sweep hashes only the FIRST 50 entries of
+# queries().  STEADY-STATE ROTATION POLICY (SURVEY §8, VERDICT r5 #6):
+# slots 1-9 pin the flagship + one representative per SURVEY §2
+# family; slots 10-50 are filled each round by (a) entries with no
+# hash evidence yet, then (b) entries whose code changed this round,
+# then (c) the OLDEST-EVIDENCE entries (the round whose window last
+# hash-checked them, ascending; alphabetical within a round for
+# determinism) — so any drift is re-caught within ~2 rounds (127
+# oracled − 9 pinned = 118 rotating / 41 slots ≈ 2.9 rounds worst
+# case, less in practice because changed code jumps the queue).
+# Round-6 window: the 4 newly-oracled replayable-LSH entries (never
+# hash-checked), 4 changed-code entries (w2 granulation widened,
+# quantile_sketch_merge parity fix, events_user_lag signed-halfup
+# rewrite, multiprobe driver-side codes), then 33 of the 34 oldest
+# (last green in the r3 window; url_host_stats rotates in next
+# round).  The dict literal below keeps family grouping for
+# readability; _DRIVER_WINDOW defines the actual order.
+_DRIVER_WINDOW = [
+    # slots 1-9: pinned flagship + §2 family representatives
+    "extract_documents_flagship",
+    "f1_filter_project",
+    "j2_semi_join",
+    "a1_group_concat_framed",
+    "w1_gaps_islands",
+    "o2_topk_per_lang",
+    "set_union_dedup",
+    "t6_templating",
+    "events_sessionize",
+    # slots 10-13: first-ever hash evidence (r6 replayable oracles)
+    "ann_lsh_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lsh_bucket_histogram",
+    # slots 14-17: code changed this round
+    "w2_row_number",
+    "quantile_sketch_merge",
+    "events_user_lag",
+    "ann_lsh_pruned_multiprobe",
+    # slots 18-50: oldest evidence (last hash-green in the r3 window)
+    "a2_merged_chapters",
+    "ann_bruteforce_cosine",
+    "ann_ivf_cosine",
+    "ann_lsh_planted",
+    "corpus_split",
+    "curate_documents",
+    "decontamination",
+    "dedup_exact",
+    "dedup_minhash_containment",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_containment",
+    "doc_fingerprints",
+    "embedding_near_dups",
+    "embedding_near_dups_exact",
+    "events_hourly",
+    "f7_tagged_projection",
+    "image_metadata",
+    "j1_equi_join",
+    "j3_anti_join",
+    "lang_id_heuristic",
+    "lm_unigram_scores",
+    "pack_shards_manifest",
+    "paragraph_dedup",
+    "pii_redaction",
+    "quality_scores",
+    "repetition_metrics",
+    "t8_id_derivation",
+    "text_quality_punct",
+    "text_token_counts",
+    "text_tokens_bpe",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_filter",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- driver window (first 50; all oracled) -------------------
-        # The driver's CORRECTNESS sweep hashes only the first 50
-        # entries.  Round-5 rotation COMPLETES the coverage plan from
-        # SURVEY §8: slots 1-9 stay the flagship + one representative
-        # per SURVEY §2 family, slots 10-41 are the final 32 oracled
-        # queries that had never appeared in any round's window (the
-        # r1-r5 union now covers every oracled query at least once),
-        # slots 42-45 are this round's new operators, and slots 46-50
-        # re-evidence queries whose code changed this round (w2 one-
-        # action prefix pass, NULL-safe quantiles, full-range halfup
-        # call sites).  The 4 seeded-hash LSH entries (no SQL oracle)
-        # sit at the tail so they never consume a hash-checkable slot.
+    base = {
         "extract_documents_flagship": _flagship,
         "f1_filter_project": _f1_filter,
         "j2_semi_join": _j2_semi_join,
@@ -3260,13 +3323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
         "curate_documents": _curate_documents,
-        # --- no-oracle tail (seeded-hash LSH; rows-only check) ------
+        # --- replayable LSH (r6: full oracles, no longer rows-only) --
         "ann_lsh_cosine": _ann_lsh,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_pairs,
         "lsh_bucket_histogram": _lsh_bucket_histogram,
 
     }
+    ordered = {k: base.pop(k) for k in _DRIVER_WINDOW}
+    ordered.update(base)
+    return ordered
 
 
 # --- DuckDB mirrors of the Python text heuristics -------------------------

@@ -85,3 +85,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_policy_invariants():
+    """SURVEY §8 rotation policy, pinned: the driver hashes only the
+    first 50 queries() entries — those must be exactly _DRIVER_WINDOW
+    (no dupes, all oracled, pinned head intact)."""
+    qs = list(entry_mod.queries())
+    win = entry_mod._DRIVER_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    assert qs[:50] == win
+    osql = entry_mod.oracle_sql()
+    assert all(name in osql for name in win)
+    assert set(osql) == set(qs), "every query needs an oracle (r6+)"
+    assert win[0] == "extract_documents_flagship"

@@ -725,3 +725,89 @@ def test_halfup_ratio_signed_full_int64_range(spark, cases):
         exp = [_halfup_signed_expected(n, dn, digits) for n, dn in sub]
         assert got_spark == exp, (digits, sub)
         assert got_duck == exp, (digits, sub)
+
+
+def _qs_code(c: int) -> int:
+    # Python mirror of operators/sketch.py _QS_CODE
+    if c == 0:
+        return 0
+    a = abs(c)
+    bl = a.bit_length()
+    mag = bl * 64 + (a >> max(bl - 6, 0))
+    return mag if c > 0 else -mag
+
+
+def _qs_lower(k: int) -> int:
+    # Python mirror of operators/sketch.py _QS_REP
+    if k == 0:
+        return 0
+    a = abs(k)
+    return (1 if k > 0 else -1) * ((a % 64) << max(a // 64 - 6, 0))
+
+
+@SETTINGS
+@given(cents=st.lists(st.integers(-(2 ** 62), 2 ** 62), min_size=1,
+                      max_size=40))
+def test_quantile_sketch_bucket_error_bound_math(cents):
+    """The sketch's documented accuracy claim as pure integer math
+    (VERDICT r5 #8): for every representable cent value, the bucket
+    lower bound L satisfies sign(L) = sign(c), |L| ≤ |c|,
+    32·|c − L| < max(|c|, 1) (≤ ~3.1% relative width), EXACTNESS for
+    |c| ≤ 63 (docstring claims < 32 conservatively), and the code is
+    monotone (sorted values land in sorted buckets — the property the
+    CDF walk needs)."""
+    cents = cents + [0, 1, -1, 31, 32, 63, 64, -64, 2 ** 40,
+                     2 ** 40 - 1, 2 ** 40 + 1, -(2 ** 40) - 1]
+    for c in cents:
+        lo = _qs_lower(_qs_code(c))
+        assert (lo == 0) == (c == 0) or (lo > 0) == (c > 0)
+        assert abs(lo) <= abs(c)
+        assert 32 * abs(c - lo) < max(abs(c), 1), (c, lo)
+        if abs(c) <= 63:
+            assert lo == c
+    codes = [_qs_code(c) for c in sorted(cents)]
+    assert codes == sorted(codes)
+
+
+@SETTINGS
+@given(
+    cents=st.lists(
+        st.one_of(
+            st.integers(-(10 ** 9), 10 ** 9),
+            st.integers(-63, 63),                       # exact regime
+            st.sampled_from(                            # octave edges
+                [2 ** b + d for b in (6, 10, 20, 30) for d in (-1, 0, 1)]
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    percents=st.sets(st.integers(0, 100), min_size=1, max_size=4),
+)
+def test_quantile_sketch_estimate_vs_exact_percentiles(
+    spark, cents, percents
+):
+    """End-to-end: every p_est returned by the sketch equals the
+    bucket lower bound OF THE EXACT rank statistic (rank convention
+    pos = (p·(n−1)) div 100 + 1) — hence inherits the ≤ ~3.1%
+    relative-error bound pinned above — including negatives,
+    sub-cent-adjacent values, and bucket-boundary adversaries."""
+    from google_vision_ocr_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+
+    pcts = tuple(sorted(percents))
+    df = spark.createDataFrame(
+        [(c / 100.0, "k") for c in cents], "value double, event_type string"
+    )
+    sk = quantile_sketch_build(df, "value", "event_type")
+    row = quantile_sketch_quantiles(sk, "event_type", percents=pcts).first()
+    ordered = sorted(cents)
+    n = len(ordered)
+    assert row.n_events == n
+    for p in pcts:
+        exact = ordered[(p * (n - 1)) // 100]
+        est_cents = round(row[f"p{p}_est"] * 100)
+        assert est_cents == _qs_lower(_qs_code(exact)), (p, exact, est_cents)
+        assert 32 * abs(exact - est_cents) < max(abs(exact), 1)
