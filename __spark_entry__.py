@@ -940,6 +940,54 @@ def _repetition_metrics(spark, sf_dir):
     )
 
 
+_GOPHER_BANNER = "lorem ipsum dolor sit amet consectetur"
+
+
+def _gopher_ngram_metrics(spark, sf_dir):
+    """Gopher §A1.1 word-n-gram repetition fractions (top-{2,3,4}-gram
+    and dup-{5,6}-gram character mass over the token stream) as 6-dp
+    integer half-up rationals over the exact bigint masses from
+    operators/quality_rules.py::ngram_repetition_metrics — the
+    remaining Gopher repetition rules beside the line-based pair
+    (`repetition_metrics`).
+
+    The testdata text has no naturally repeated 5-grams (the dup arms
+    would be vacuously zero), so every 4th document gets a 6-word
+    banner appended TWICE — its repeated 5/6-grams make the dup
+    fractions nonzero for exactly that planted subset, falsifiably
+    mirrored in the oracle."""
+    from google_vision_ocr_spark.operators.quality_rules import (
+        ngram_repetition_metrics,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" " + _GOPHER_BANNER + " " + _GOPHER_BANNER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    m = ngram_repetition_metrics(d)
+    cols = [F.col("doc_id"), F.col("stream_chars")]
+    for c in (
+        "top2_gram_chars",
+        "top3_gram_chars",
+        "top4_gram_chars",
+        "dup5_gram_chars",
+        "dup6_gram_chars",
+    ):
+        cols.append(
+            F.when(
+                F.col("stream_chars") > 0, _halfup_ratio(c, "stream_chars", 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias(c.replace("_gram_chars", "_frac"))
+        )
+    return m.select(*cols)
+
+
 def _pii_redaction(spark, sf_dir):
     """C4/CCNet-style PII scrub, falsifiable: every row gets planted
     PII (email, IPv4, long digit run derived from doc_id), then the
@@ -1108,6 +1156,32 @@ def _embedding_near_dups(spark, sf_dir):
     )
     return embedding_near_dup_pairs(
         base.unionByName(planted), threshold=0.9, dim=64, materialize=True
+    )
+
+
+def _semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with the
+    same planted near-duplicates as `embedding_near_dups`: k-means
+    cluster (2 Lloyd rounds, SQL-replayable), then within each cluster
+    drop rows with a smaller-id neighbor above cosine 0.9.  Planted
+    copies sit at cosine ≈ 0.999 to their source while the natural max
+    is ≈ 0.33, so every planted pair that lands in one cluster must
+    produce exactly one keep=0 row — cluster-split misses (the
+    documented SemDeDup recall trade-off) are deterministic and
+    mirrored by the oracle's identical clustering replay."""
+    from google_vision_ocr_spark.operators.similarity import semdedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % _PLANT_EVERY == 0).select(
+        (F.col("vec_id") + F.lit(_PLANT_ID_OFFSET)).alias("vec_id"),
+        F.expr(_PLANT_EXPR_SPARK).alias("embedding"),
+    )
+    return semdedup_keep(
+        base.unionByName(planted), centroid_mod=31, iters=2, threshold=0.9
     )
 
 
@@ -3148,17 +3222,20 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-13: first-ever hash evidence (r6 replayable oracles)
+    # slots 10-11: new operators this round (no evidence yet)
+    "gopher_ngram_metrics",
+    "semdedup_keep",
+    # slots 12-15: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "lsh_bucket_histogram",
-    # slots 14-17: code changed this round
+    # slots 16-19: code changed this round
     "w2_row_number",
     "quantile_sketch_merge",
     "events_user_lag",
     "ann_lsh_pruned_multiprobe",
-    # slots 18-50: oldest evidence (last hash-green in the r3 window)
+    # slots 20-50: oldest evidence (last hash-green in the r3 window)
     "a2_merged_chapters",
     "ann_bruteforce_cosine",
     "ann_ivf_cosine",
@@ -3190,8 +3267,8 @@ _DRIVER_WINDOW = [
     "text_token_counts",
     "text_tokens_bpe",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_filter",
+    # tpch_q3/tpch_q6 (alphabetically last of the r3-age set) rotate
+    # into r7 with url_host_stats — displaced by the two new slots
 ]
 
 
@@ -3319,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": _image_metadata,
         "corpus_split": _corpus_split,
         "repetition_metrics": _repetition_metrics,
+        "gopher_ngram_metrics": _gopher_ngram_metrics,
+        "semdedup_keep": _semdedup_keep,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4219,6 +4298,133 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                             "CAST(total_chars AS BIGINT)", 6)}
                         ELSE 0.0 END AS dup_line_char_frac
             FROM agg
+        """,
+        # Gopher n-gram rules: top gram by max(struct(cnt, chars)) —
+        # lexicographic struct ordering is identical in both engines,
+        # and equal (cnt, chars) ties all yield the same chars value
+        "gopher_ngram_metrics": rf"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN text || ' {_GOPHER_BANNER} {_GOPHER_BANNER}'
+                            ELSE text END AS text
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS w
+                FROM d
+            ), b AS (
+                SELECT doc_id,
+                       CAST(length(array_to_string(w, ' ')) AS BIGINT)
+                           AS stream_chars,
+                       w
+                FROM w
+            ), g AS (
+                SELECT doc_id, n,
+                       unnest(CASE WHEN len(w) >= n
+                              THEN list_transform(
+                                  generate_series(1, len(w) - n + 1),
+                                  i -> array_to_string(w[i:i+n-1], ' '))
+                              ELSE [] END) AS gram
+                FROM b, (VALUES (2), (3), (4), (5), (6)) ns(n)
+            ), c AS (
+                SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(count(*) * length(gram) AS BIGINT) AS chars
+                FROM g GROUP BY doc_id, n, gram
+            ), a AS (
+                SELECT doc_id,
+                       max(CASE WHEN n = 2 THEN {{'cnt': cnt, 'chars': chars}} END).chars AS top2,
+                       max(CASE WHEN n = 3 THEN {{'cnt': cnt, 'chars': chars}} END).chars AS top3,
+                       max(CASE WHEN n = 4 THEN {{'cnt': cnt, 'chars': chars}} END).chars AS top4,
+                       CAST(coalesce(sum(CASE WHEN n = 5 AND cnt > 1
+                                              THEN chars ELSE 0 END), 0)
+                            AS BIGINT) AS dup5,
+                       CAST(coalesce(sum(CASE WHEN n = 6 AND cnt > 1
+                                              THEN chars ELSE 0 END), 0)
+                            AS BIGINT) AS dup6
+                FROM c GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.stream_chars,
+                   CASE WHEN stream_chars > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(coalesce(top2, 0) AS BIGINT)",
+                            "stream_chars", 6)}
+                        ELSE 0.0 END AS top2_frac,
+                   CASE WHEN stream_chars > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(coalesce(top3, 0) AS BIGINT)",
+                            "stream_chars", 6)}
+                        ELSE 0.0 END AS top3_frac,
+                   CASE WHEN stream_chars > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(coalesce(top4, 0) AS BIGINT)",
+                            "stream_chars", 6)}
+                        ELSE 0.0 END AS top4_frac,
+                   CASE WHEN stream_chars > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(coalesce(dup5, 0) AS BIGINT)",
+                            "stream_chars", 6)}
+                        ELSE 0.0 END AS dup5_frac,
+                   CASE WHEN stream_chars > 0
+                        THEN {_halfup_ratio_sql(
+                            "CAST(coalesce(dup6, 0) AS BIGINT)",
+                            "stream_chars", 6)}
+                        ELSE 0.0 END AS dup6_frac
+            FROM b LEFT JOIN a USING (doc_id)
+        """,
+        # SemDeDup: the kmeans_assignments replay over the planted
+        # union, then within-cluster smaller-id-neighbor victims
+        "semdedup_keep": f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), planted AS (
+                SELECT vec_id + {_PLANT_ID_OFFSET} AS vec_id,
+                       list_transform(generate_series(1, len(embedding)),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                + 0.002 * ((i * 37) % 11 - 5)) AS v
+                FROM embeddings WHERE vec_id % {_PLANT_EVERY} = 0
+            ), e AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            ), c0 AS (
+                SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0
+            ), a1 AS (
+                SELECT vec_id, v, cid AS cell FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(c.cv, e.v) DESC,
+                                        c.cid) AS rn
+                    FROM e CROSS JOIN c0 c
+                ) WHERE rn = 1
+            ), u1 AS (
+                SELECT cell, i, avg(v[i]) AS m
+                FROM a1 CROSS JOIN generate_series(1, 64) AS g(i)
+                GROUP BY cell, i
+            ), c1 AS (
+                SELECT cell AS cid, list(m ORDER BY i) AS cv FROM u1 GROUP BY cell
+            ), a2 AS (
+                SELECT vec_id, cid AS cell FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(c.cv, e.v) DESC,
+                                        c.cid) AS rn
+                    FROM e CROSS JOIN c1 c
+                ) WHERE rn = 1
+            ), withv AS (
+                SELECT a2.vec_id, a2.cell, e.v FROM a2 JOIN e USING (vec_id)
+            ), vict AS (
+                SELECT DISTINCT x.vec_id
+                FROM withv x JOIN withv y
+                  ON x.cell = y.cell AND x.vec_id > y.vec_id
+                WHERE list_cosine_similarity(x.v, y.v) > 0.9
+            )
+            SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell,
+                   CAST(CASE WHEN vict.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS INT) AS keep
+            FROM withv w LEFT JOIN vict ON w.vec_id = vict.vec_id
         """,
         "paragraph_dedup": """
             WITH d AS (

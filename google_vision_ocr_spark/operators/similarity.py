@@ -386,6 +386,64 @@ def kmeans_lloyd(
     return assigned.select(F.col(id_col), F.col("cell").cast("bigint").alias("cell"))
 
 
+def semdedup_keep(
+    embeddings: DataFrame,
+    centroid_mod: int = 31,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_method: str = "crossjoin",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings, then dropping within-cluster near-duplicates
+    above a cosine threshold.  Returns every input row as
+    ``(id, cell, keep)`` with ``keep = 0`` for rows that have a
+    same-cluster neighbor of SMALLER id with ``cos > threshold`` (the
+    deterministic keep-min-id variant of the paper's one-per-ε-ball
+    rule; like the greedy original it is not a transitive closure —
+    a chain a~b~c with a≁c keeps only ``a``).
+
+    Distributed shape: clustering is :func:`kmeans_lloyd` (broadcast
+    assign + hash-agg update); the quadratic pair scan is confined to a
+    same-``cell`` self-join, never all-pairs — with ``k`` scaled
+    proportionally to the corpus (fixed ``centroid_mod`` fraction) the
+    mean cluster size is constant, so per-cluster work is bounded
+    exactly as the paper prescribes (real deployments additionally cap
+    cluster sizes; a hot cell here is data skew for the AQE skew-join
+    handler).  Victims are deduplicated before one id-keyed left join
+    marks the keep flag.  Every step is cosine arithmetic over the
+    replayable k-means assignment, so the whole operator has an
+    ANSI-SQL oracle (``semdedup_keep``)."""
+    assigned = kmeans_lloyd(
+        embeddings, centroid_mod, iters, id_col, vec_col, assign_method
+    )
+    withv = assigned.join(embeddings.select(id_col, vec_col), id_col)
+    x = withv.select(
+        F.col(id_col).alias("__ida"), F.col("cell"), F.col(vec_col).alias("__va")
+    )
+    y = withv.select(
+        F.col(id_col).alias("__idb"), F.col("cell"), F.col(vec_col).alias("__vb")
+    )
+    victims = (
+        x.join(y, "cell")
+        .filter(F.col("__ida") > F.col("__idb"))
+        .filter(_cosine_col("__va", "__vb") > threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        withv.join(victims.withColumn("__v", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("__v").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def lsh_bucket_histogram(
     embeddings: DataFrame,
     id_col: str = "vec_id",

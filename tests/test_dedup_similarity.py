@@ -273,3 +273,47 @@ def test_ivf_assign_zero_vector_paths_agree(spark):
     assert a == b
     assert a[0] == 3  # min centroid id on the all-tie row
     assert a[1] == 7 and a[2] == 3
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    from google_vision_ocr_spark.operators.similarity import semdedup_keep
+
+    # two well-separated clusters (centroid_mod=3 -> init centroids 0, 3);
+    # ids 1 and 2 are near-duplicates (cos ~ 0.9996) inside cluster 0
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.6, 0.8, 0.0, 0.0]),
+            (2, [0.62, 0.79, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.6, 0.8]),
+            (5, [0.0, 0.0, 0.8, -0.6]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = semdedup_keep(vecs, centroid_mod=3, iters=2, threshold=0.9)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 6
+    # only the larger id of the near-dup pair is dropped
+    assert rows[2].keep == 0
+    assert all(rows[i].keep == 1 for i in (0, 1, 3, 4, 5))
+    # the two clusters stay separated
+    assert rows[0].cell == rows[1].cell == rows[2].cell
+    assert rows[3].cell == rows[4].cell == rows[5].cell
+    assert rows[0].cell != rows[3].cell
+
+
+def test_semdedup_pair_scan_is_cell_blocked(spark):
+    from google_vision_ocr_spark.operators.similarity import semdedup_keep
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = (
+        semdedup_keep(vecs, centroid_mod=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the quadratic scan must be an equi-join on cell, never all-pairs
+    # (the only nested-loop joins are the broadcast singleton patterns)
+    assert "CartesianProduct" not in plan

@@ -29,3 +29,21 @@ def con():
 def test_oracle_returns_rows(con, name):
     n = len(con.execute(entry_mod.oracle_sql()[name]).df())
     assert n > 0, f"{name}: oracle returned 0 rows — vacuous gate entry"
+
+
+def test_semdedup_oracle_actually_drops(con):
+    """The planted near-dup copies must produce keep=0 rows — an
+    all-keep output would pass the hash gate vacuously."""
+    df = con.execute(entry_mod.oracle_sql()["semdedup_keep"]).df()
+    assert (df["keep"] == 0).sum() > 0
+    assert (df["keep"] == 1).sum() > 0
+
+
+def test_gopher_dup_arms_nonzero(con):
+    """The planted double-banner must make the dup-5/6-gram fractions
+    nonzero for its subset (the raw testdata has no repeated 5-grams,
+    which left these arms vacuously constant before planting)."""
+    df = con.execute(entry_mod.oracle_sql()["gopher_ngram_metrics"]).df()
+    for c in ("dup5_frac", "dup6_frac"):
+        assert (df[c] > 0).sum() > 0, c
+        assert (df[c] == 0).sum() > 0, c  # and only the planted subset

@@ -351,3 +351,52 @@ def test_quality_python_matches_duckdb_on_unicode_adversaries():
     got = dict(con.execute(sql).fetchall())
     for i, t in enumerate(texts):
         assert got[i] == quality_score(t), (i, t, got[i], quality_score(t))
+
+
+def test_ngram_repetition_metrics_known_values(spark):
+    from google_vision_ocr_spark.operators.quality_rules import (
+        ngram_repetition_metrics,
+    )
+
+    rows = [
+        (1, "a b a b c"),          # "a b" twice -> top2 = 2*3 = 6
+        (2, "p q r p q r p q r"),  # dup 5-grams: two grams x2 x 9 chars
+        (3, "aaa b cc d"),         # all 2-gram counts tie -> max chars wins
+        (4, "hello"),              # below every n
+        (5, ""),                   # empty
+        (6, "A  B\ta B"),          # lowercased + ws-collapsed: "a b a b"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_repetition_metrics(df).collect()}
+    r1 = got[1]
+    assert r1["stream_chars"] == 9
+    assert r1["top2_gram_chars"] == 6      # "a b" cnt=2, chars=2*3
+    assert r1["top3_gram_chars"] == 5      # all cnt=1, len("a b a")=5
+    assert r1["top4_gram_chars"] == 7
+    assert r1["dup5_gram_chars"] == 0 and r1["dup6_gram_chars"] == 0
+    r2 = got[2]
+    assert r2["stream_chars"] == 17
+    # 5-grams at i=1..5: "p q r p q"(x2), "q r p q r"(x2), "r p q r p"
+    assert r2["dup5_gram_chars"] == 2 * 9 + 2 * 9
+    assert r2["dup6_gram_chars"] == 2 * 11  # "p q r p q r" at i=1 and i=4
+    r3 = got[3]
+    assert r3["top2_gram_chars"] == 5      # tie on cnt=1 -> "aaa b" (5 chars)
+    assert got[4]["stream_chars"] == 5
+    assert got[4]["top2_gram_chars"] == 0 and got[4]["dup6_gram_chars"] == 0
+    assert got[5]["stream_chars"] == 0
+    # tokenizing lowers and splits on the RE2 ASCII class
+    assert got[6]["stream_chars"] == 7 and got[6]["top2_gram_chars"] == 6
+
+
+def test_ngram_repetition_metrics_keeps_every_doc(spark):
+    from google_vision_ocr_spark.operators.quality_rules import (
+        ngram_repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["", "one", "two words", "a b c d e f g"])],
+        ["doc_id", "text"],
+    )
+    out = ngram_repetition_metrics(df)
+    assert out.count() == 4
+    assert out.filter("top2_gram_chars IS NULL OR dup5_gram_chars IS NULL").count() == 0
