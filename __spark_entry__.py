@@ -988,6 +988,47 @@ def _gopher_ngram_metrics(spark, sf_dir):
     return m.select(*cols)
 
 
+def _c4_line_filter(spark, sf_dir):
+    """C4 line/page curation rules (Raffel et al. 2020, §2.2) via
+    operators/c4_filters.py::c4_line_stats — zero-shuffle scan-side
+    verdicts plus the reassembled kept text, hash-compared in full.
+
+    The testdata text is single-line word soup with no punctuation, so
+    C4's line structure is planted deterministically: words are chunked
+    into 8-word lines; line i gets a terminal '.' when
+    pmod(doc_id + i, 3) < 2 (otherwise it fails the punctuation rule —
+    and the final short chunk fails the 5-word rule); line 0 gains
+    ' javascript' on every 7th doc; every 13th doc appends
+    ' lorem ipsum' and every remaining 11th doc ' {' (page-drop
+    plants).  Every counter and both page verdicts are exercised
+    non-vacuously (pinned in test_oracle_nonvacuous.py)."""
+    from google_vision_ocr_spark.operators.c4_filters import c4_line_stats
+
+    line = (
+        "array_join(slice(__w, i*8+1, 8), ' ')"
+        " || (CASE WHEN pmod(doc_id + i, 3) < 2 THEN '.' ELSE '' END)"
+        " || (CASE WHEN i = 0 AND doc_id % 7 = 0 THEN ' javascript' ELSE '' END)"
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("__w"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(__w) > 0 THEN "
+                f"array_join(transform(sequence(0, (size(__w)+7) div 8 - 1), "
+                f"i -> {line}), chr(10)) ELSE '' END"
+                " || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum'"
+                " WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END)"
+            ).alias("text"),
+        )
+    )
+    return c4_line_stats(planted).select(
+        "doc_id", "n_lines", "n_kept", "n_short", "n_nopunct", "n_js",
+        "page_keep", "kept_text",
+    )
+
+
 def _pii_redaction(spark, sf_dir):
     """C4/CCNet-style PII scrub, falsifiable: every row gets planted
     PII (email, IPv4, long digit run derived from doc_id), then the
@@ -3204,13 +3245,14 @@ def _tier_extraction(spark, sf_dir):
 # determinism) — so any drift is re-caught within ~2 rounds (127
 # oracled − 9 pinned = 118 rotating / 41 slots ≈ 2.9 rounds worst
 # case, less in practice because changed code jumps the queue).
-# Round-6 window: the 4 newly-oracled replayable-LSH entries (never
-# hash-checked), 4 changed-code entries (w2 granulation widened,
-# quantile_sketch_merge parity fix, events_user_lag signed-halfup
-# rewrite, multiprobe driver-side codes), then 33 of the 34 oldest
-# (last green in the r3 window; url_host_stats rotates in next
-# round).  The dict literal below keeps family grouping for
-# readability; _DRIVER_WINDOW defines the actual order.
+# Round-6 window: 3 brand-new operators, the 4 newly-oracled
+# replayable-LSH entries (never hash-checked), 4 changed-code entries
+# (w2 granulation widened, quantile_sketch_merge parity fix,
+# events_user_lag signed-halfup rewrite, multiprobe driver-side
+# codes), then 30 of the oldest (last green in the r3 window;
+# tpch_q1/q3/q6 + url_host_stats rotate in next round).  The dict
+# literal below keeps family grouping for readability; _DRIVER_WINDOW
+# defines the actual order.
 _DRIVER_WINDOW = [
     # slots 1-9: pinned flagship + §2 family representatives
     "extract_documents_flagship",
@@ -3222,9 +3264,10 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-11: new operators this round (no evidence yet)
+    # slots 10-12: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
+    "c4_line_filter",
     # slots 12-15: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3266,9 +3309,8 @@ _DRIVER_WINDOW = [
     "text_quality_punct",
     "text_token_counts",
     "text_tokens_bpe",
-    "tpch_q1_pricing_summary",
-    # tpch_q3/tpch_q6 (alphabetically last of the r3-age set) rotate
-    # into r7 with url_host_stats — displaced by the two new slots
+    # tpch_q1/q3/q6 (alphabetically last of the r3-age set) rotate
+    # into r7 with url_host_stats — displaced by the three new slots
 ]
 
 
@@ -3398,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _repetition_metrics,
         "gopher_ngram_metrics": _gopher_ngram_metrics,
         "semdedup_keep": _semdedup_keep,
+        "c4_line_filter": _c4_line_filter,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4373,6 +4416,61 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                             "stream_chars", 6)}
                         ELSE 0.0 END AS dup6_frac
             FROM b LEFT JOIN a USING (doc_id)
+        """,
+        # C4 line/page rules over the planted 8-word line structure;
+        # list indexing is 1-based in DuckDB (cc[i+1]) vs 0-based
+        # Spark element_at-style __c4_c[i] — both walk the same lines
+        "c4_line_filter": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ww
+                FROM documents
+            ), planted AS (
+                SELECT doc_id,
+                    (CASE WHEN len(ww) > 0 THEN array_to_string(
+                       list_transform(range(0, (len(ww)+7)//8), i ->
+                         array_to_string(list_slice(ww, i*8+1, i*8+8), ' ')
+                         || (CASE WHEN (doc_id + i) % 3 < 2 THEN '.' ELSE '' END)
+                         || (CASE WHEN i = 0 AND doc_id % 7 = 0
+                             THEN ' javascript' ELSE '' END)
+                       ), chr(10)) ELSE '' END)
+                    || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum'
+                        WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END) AS text
+                FROM w
+            ), l AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)), x -> x <> '') AS ll
+                FROM planted
+            ), c AS (
+                SELECT doc_id, text, ll,
+                    list_transform(ll, x ->
+                        CASE WHEN contains(x, 'javascript') THEN 3
+                             WHEN NOT (ends_with(x,'.') OR ends_with(x,'!')
+                                       OR ends_with(x,'?') OR ends_with(x,'"')) THEN 2
+                             WHEN len(list_filter(string_split(x, ' '),
+                                                  y -> y <> '')) < 5 THEN 1
+                             ELSE 0 END) AS cc
+                FROM l
+            )
+            SELECT doc_id,
+                CAST(len(ll) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(cc, c -> c = 0)) AS BIGINT) AS n_kept,
+                CAST(len(list_filter(cc, c -> c = 1)) AS BIGINT) AS n_short,
+                CAST(len(list_filter(cc, c -> c = 2)) AS BIGINT) AS n_nopunct,
+                CAST(len(list_filter(cc, c -> c = 3)) AS BIGINT) AS n_js,
+                CAST(CASE WHEN NOT contains(text, '{')
+                          AND NOT contains(text, 'lorem ipsum')
+                          AND len(list_filter(cc, c -> c = 0)) >= 3
+                     THEN 1 ELSE 0 END AS INT) AS page_keep,
+                CASE WHEN NOT contains(text, '{')
+                     AND NOT contains(text, 'lorem ipsum')
+                     AND len(list_filter(cc, c -> c = 0)) >= 3
+                THEN array_to_string(list_filter(
+                       list_transform(range(0, len(ll)), i ->
+                         CASE WHEN cc[i+1] = 0 THEN ll[i+1] ELSE '' END),
+                       x -> x <> ''), chr(10))
+                ELSE '' END AS kept_text
+            FROM c
         """,
         # SemDeDup: the kmeans_assignments replay over the planted
         # union, then within-cluster smaller-id-neighbor victims

@@ -47,3 +47,18 @@ def test_gopher_dup_arms_nonzero(con):
     for c in ("dup5_frac", "dup6_frac"):
         assert (df[c] > 0).sum() > 0, c
         assert (df[c] == 0).sum() > 0, c  # and only the planted subset
+
+
+def test_c4_every_rule_fires(con):
+    """Every C4 counter and both page verdicts must be exercised by
+    the plant — a rule that never fires passes the gate vacuously."""
+    df = con.execute(entry_mod.oracle_sql()["c4_line_filter"]).df()
+    for c in ("n_kept", "n_short", "n_nopunct", "n_js"):
+        assert (df[c] > 0).sum() > 0, c
+    assert (df["page_keep"] == 0).sum() > 0
+    assert (df["page_keep"] == 1).sum() > 0
+    # both page-drop causes occur: boilerplate/code plants AND the
+    # <3-kept-lines rule (pages with no plant but too few kept lines)
+    kept_mask = df["page_keep"] == 1
+    assert (df.loc[kept_mask, "kept_text"].str.len() > 0).all()
+    assert (df.loc[~kept_mask, "kept_text"] == "").all()

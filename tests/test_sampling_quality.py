@@ -400,3 +400,54 @@ def test_ngram_repetition_metrics_keeps_every_doc(spark):
     out = ngram_repetition_metrics(df)
     assert out.count() == 4
     assert out.filter("top2_gram_chars IS NULL OR dup5_gram_chars IS NULL").count() == 0
+
+
+def test_c4_line_stats_known_values(spark):
+    from google_vision_ocr_spark.operators.c4_filters import c4_line_stats
+
+    rows = [
+        (1, "one two three four five.\nshort line.\nno terminal punct here"
+            "\nthis javascript line ends fine.\nsix seven eight nine ten!"),
+        (2, "a b c d e?\nf g h i j\"\nk l m n o."),   # 3 kept -> page kept
+        (3, "a b c d e.\nf g h i j."),                 # 2 kept -> page dropped
+        (4, ""),                                       # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_line_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_kept"], r1["n_short"], r1["n_nopunct"],
+            r1["n_js"]) == (5, 2, 1, 1, 1)
+    assert r1["page_keep"] == 0 and r1["kept_text"] == ""
+    r2 = got[2]
+    assert r2["n_kept"] == 3 and r2["page_keep"] == 1
+    assert r2["kept_text"] == 'a b c d e?\nf g h i j"\nk l m n o.'
+    assert got[3]["page_keep"] == 0
+    assert got[4]["n_lines"] == 0 and got[4]["page_keep"] == 0
+
+
+def test_c4_page_rules_brace_and_lorem(spark):
+    from google_vision_ocr_spark.operators.c4_filters import (
+        c4_filter,
+        c4_line_stats,
+    )
+
+    kept3 = "a b c d e.\nf g h i j.\nk l m n o."
+    rows = [
+        (1, kept3),
+        (2, kept3 + "\nvar x = { nope }."),    # brace -> drop
+        (3, kept3 + "\nlorem ipsum filler."),  # boilerplate -> drop
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["page_keep"] for r in c4_line_stats(df).collect()}
+    assert got == {1: 1, 2: 0, 3: 0}
+    out = c4_filter(df)
+    assert [tuple(r) for r in out.collect()] == [(1, kept3)]
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_c4_line_stats_is_zero_shuffle(spark):
+    from google_vision_ocr_spark.operators.c4_filters import c4_line_stats
+
+    df = spark.createDataFrame([(1, "a b c d e.")], ["doc_id", "text"])
+    plan = c4_line_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
