@@ -1029,6 +1029,40 @@ def _c4_line_filter(spark, sf_dir):
     )
 
 
+_DSIR_WIKI = "cite reference encyclopedia article neutral tone"
+_DSIR_SPAM = "click here buy now free offer"
+
+
+def _dsir_selection(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023) via
+    operators/dsir.py::dsir_scores — hashed {1,2}-gram bag models for
+    a seed target corpus vs the raw corpus, micro-nat-exact per-doc
+    importance weights, mean-relative selection.
+
+    The synthetic corpus has NO real distribution shift (all langs
+    share one 31-word vocabulary), so one is planted: every 3rd doc
+    gets a 6-word 'curated-style' suffix, the rest a 'spam-style'
+    suffix; the seed target corpus is doc_id % 30 == 0 — a strict
+    SUBSET of the curated-style docs, so selection must GENERALIZE
+    from seed membership to style (at sf0.001: 167/167 curated
+    selected, 150/150 of them outside the seed, vs 65/333 spam).
+    Non-circular and non-vacuous, pinned in
+    test_oracle_nonvacuous.py."""
+    from google_vision_ocr_spark.operators.dsir import dsir_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN text || ' {_DSIR_WIKI}'"
+            f" ELSE text || ' {_DSIR_SPAM}' END"
+        ).alias("text"),
+        F.expr("CASE WHEN doc_id % 30 = 0 THEN 1 ELSE 0 END").alias(
+            "is_target"
+        ),
+    )
+    return dsir_scores(d)
+
+
 def _pii_redaction(spark, sf_dir):
     """C4/CCNet-style PII scrub, falsifiable: every row gets planted
     PII (email, IPv4, long digit run derived from doc_id), then the
@@ -3245,14 +3279,14 @@ def _tier_extraction(spark, sf_dir):
 # determinism) — so any drift is re-caught within ~2 rounds (127
 # oracled − 9 pinned = 118 rotating / 41 slots ≈ 2.9 rounds worst
 # case, less in practice because changed code jumps the queue).
-# Round-6 window: 3 brand-new operators, the 4 newly-oracled
+# Round-6 window: 4 brand-new operators, the 4 newly-oracled
 # replayable-LSH entries (never hash-checked), 4 changed-code entries
 # (w2 granulation widened, quantile_sketch_merge parity fix,
 # events_user_lag signed-halfup rewrite, multiprobe driver-side
-# codes), then 30 of the oldest (last green in the r3 window;
-# tpch_q1/q3/q6 + url_host_stats rotate in next round).  The dict
-# literal below keeps family grouping for readability; _DRIVER_WINDOW
-# defines the actual order.
+# codes), then 29 of the oldest (last green in the r3 window;
+# text_tokens_bpe + tpch_q1/q3/q6 + url_host_stats rotate in next
+# round).  The dict literal below keeps family grouping for
+# readability; _DRIVER_WINDOW defines the actual order.
 _DRIVER_WINDOW = [
     # slots 1-9: pinned flagship + §2 family representatives
     "extract_documents_flagship",
@@ -3264,10 +3298,11 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-12: new operators this round (no evidence yet)
+    # slots 10-13: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
+    "dsir_selection",
     # slots 12-15: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3308,9 +3343,9 @@ _DRIVER_WINDOW = [
     "t8_id_derivation",
     "text_quality_punct",
     "text_token_counts",
-    "text_tokens_bpe",
-    # tpch_q1/q3/q6 (alphabetically last of the r3-age set) rotate
-    # into r7 with url_host_stats — displaced by the three new slots
+    # text_tokens_bpe + tpch_q1/q3/q6 (alphabetically last of the
+    # r3-age set) rotate into r7 with url_host_stats — displaced by
+    # the four new-operator slots
 ]
 
 
@@ -3441,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_ngram_metrics": _gopher_ngram_metrics,
         "semdedup_keep": _semdedup_keep,
         "c4_line_filter": _c4_line_filter,
+        "dsir_selection": _dsir_selection,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4471,6 +4507,78 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                        x -> x <> ''), chr(10))
                 ELSE '' END AS kept_text
             FROM c
+        """,
+        # DSIR: hashed {1,2}-gram bag models (md5-fold buckets replay
+        # bit-for-bit), micro-nat log-ratios, away-from-zero integer
+        # avg (// and % truncate toward zero in both engines),
+        # mean-relative selection
+        "dsir_selection": f"""
+            WITH p AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0 THEN text || ' {_DSIR_WIKI}'
+                         ELSE text || ' {_DSIR_SPAM}' END AS text,
+                    CASE WHEN doc_id % 30 = 0 THEN 1 ELSE 0 END AS is_target
+                FROM documents
+            ), t AS (
+                SELECT doc_id, is_target,
+                       {_replayable.tokens_duck('text')} AS tt
+                FROM p
+            ), f AS (
+                SELECT doc_id, is_target,
+                    unnest(flatten([tt, CASE WHEN len(tt) >= 2 THEN
+                        list_transform(range(1, len(tt)),
+                                       i -> tt[i] || ' ' || tt[i+1])
+                        ELSE [] END])) AS feat
+                FROM t
+            ), b AS (
+                SELECT doc_id, is_target,
+                       ({_replayable._md5_int_duck('feat')}) % 4096 AS bucket
+                FROM f
+            ), src AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS s_cnt
+                FROM b GROUP BY bucket
+            ), tgt AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+                FROM b WHERE is_target = 1 GROUP BY bucket
+            ), model AS (
+                SELECT bucket, s_cnt,
+                       CAST(coalesce(t_cnt, 0) AS BIGINT) AS t_cnt
+                FROM src LEFT JOIN tgt USING (bucket)
+            ), tot AS (
+                SELECT CAST(sum(s_cnt) AS BIGINT) AS S,
+                       CAST(sum(t_cnt) AS BIGINT) AS T
+                FROM model
+            ), lmodel AS (
+                SELECT bucket,
+                    CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE)
+                                   / CAST(T + 4096 AS DOUBLE))
+                              - ln(CAST(s_cnt + 1 AS DOUBLE)
+                                   / CAST(S + 4096 AS DOUBLE)))
+                               * 1000000.0) AS BIGINT) AS l_micro
+                FROM model, tot
+            ), g AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                       CAST(sum(l_micro) AS BIGINT) AS logratio_micro
+                FROM b JOIN lmodel USING (bucket) GROUP BY doc_id
+            ), s AS (
+                SELECT doc_id, n_feats, logratio_micro,
+                    CAST((logratio_micro // n_feats)
+                         + (CASE WHEN logratio_micro >= 0
+                                 AND 2 * (logratio_micro % n_feats) >= n_feats
+                                 THEN 1
+                                 WHEN logratio_micro < 0
+                                 AND -2 * (logratio_micro % n_feats) >= n_feats
+                                 THEN -1 ELSE 0 END) AS BIGINT) AS avg_micro
+                FROM g
+            ), thr AS (
+                SELECT CAST(sum(avg_micro) AS BIGINT) AS A,
+                       CAST(count(*) AS BIGINT) AS N
+                FROM s
+            )
+            SELECT doc_id, n_feats, logratio_micro, avg_micro,
+                CAST(CASE WHEN avg_micro * N > A THEN 1 ELSE 0 END AS INT)
+                    AS selected
+            FROM s, thr
         """,
         # SemDeDup: the kmeans_assignments replay over the planted
         # union, then within-cluster smaller-id-neighbor victims

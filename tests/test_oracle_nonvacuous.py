@@ -62,3 +62,20 @@ def test_c4_every_rule_fires(con):
     kept_mask = df["page_keep"] == 1
     assert (df.loc[kept_mask, "kept_text"].str.len() > 0).all()
     assert (df.loc[~kept_mask, "kept_text"] == "").all()
+
+
+def test_dsir_selection_generalizes_style(con):
+    """DSIR must select by STYLE, not seed membership: curated-style
+    docs outside the doc_id%30 seed must be selected at a much higher
+    rate than spam-style docs — and both selected values must occur."""
+    df = con.execute(entry_mod.oracle_sql()["dsir_selection"]).df()
+    sel = dict(zip(df["doc_id"], df["selected"]))
+    wiki = {k for k in sel if k % 3 == 0}
+    nonseed_wiki = {k for k in wiki if k % 30 != 0}
+    spam = {k for k in sel if k % 3 != 0}
+    assert nonseed_wiki and spam
+    wiki_rate = sum(sel[k] for k in nonseed_wiki) / len(nonseed_wiki)
+    spam_rate = sum(sel[k] for k in spam) / len(spam)
+    assert wiki_rate > 0.9, wiki_rate    # generalizes beyond the seed
+    assert spam_rate < 0.5, spam_rate    # and rejects the other style
+    assert 0 in sel.values() and 1 in sel.values()
