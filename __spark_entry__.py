@@ -1029,6 +1029,13 @@ def _c4_line_filter(spark, sf_dir):
     )
 
 
+#: DuckDB list literal of operators/justext.py::STOPLIST (one source)
+def _jx_stop_duck() -> str:
+    from google_vision_ocr_spark.operators.justext import STOPLIST
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPLIST) + "]"
+
+
 _DSIR_WIKI = "cite reference encyclopedia article neutral tone"
 _DSIR_SPAM = "click here buy now free offer"
 
@@ -1061,6 +1068,55 @@ def _dsir_selection(spark, sf_dir):
         ),
     )
     return dsir_scores(d)
+
+
+def _justext_extraction(spark, sf_dir):
+    """jusText-style DOM-heuristic main-content extraction (Pomikalek
+    2011) via operators/justext.py::justext_blocks — link/stopword
+    density bands plus the context-sensitive neighbour pass, zero
+    shuffle, exact-integer thresholds, full main_text hash-compared.
+
+    The testdata is plain text, so well-formed lowercase markup is
+    planted deterministically: words chunk into 10-word blocks; block
+    i takes a shape from pmod(doc_id + i, 5) — 0: link-farm <p> (bad)
+    on even docs / stopword-padded good <p> on odd docs (so shorts on
+    odd docs sit between two goods and flip), 1: 2-word short <p>,
+    2: stopword-padded good <p>, 3: <li> in the near-good stopword
+    band, 4: plain <p> at the corpus' natural density.  A <nav> and a
+    <footer> wrap the blocks and must NOT be extracted.  Every
+    context-free class and every context-pass transition (short->good,
+    short->bad, near_good->good, near_good->bad) is exercised
+    non-vacuously (pinned in test_oracle_nonvacuous.py)."""
+    from google_vision_ocr_spark.operators.justext import justext_blocks
+
+    chunk = "array_join(slice(__w, i*10+1, 10), ' ')"
+    good_block = f"'<p>' || {chunk} || ' the of and to in a the of and to in a</p>'"
+    block = (
+        "CASE pmod(doc_id + i, 5) "
+        "WHEN 0 THEN (CASE WHEN doc_id % 2 = 0 "
+        f"THEN '<p class=\"m\"><a href=\"#\">' || {chunk} || '</a></p>' "
+        f"ELSE {good_block} END) "
+        "WHEN 1 THEN '<p>' || array_join(slice(__w, i*10+1, 2), ' ') || '</p>' "
+        f"WHEN 2 THEN {good_block} "
+        f"WHEN 3 THEN '<li>' || {chunk} || ' the of and</li>' "
+        f"ELSE '<p>' || {chunk} || '</p>' END"
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("__w"))
+        .select(
+            "doc_id",
+            F.expr(
+                "'<html><head><title>t</title></head><body>"
+                "<nav><a href=\"#\">home</a> <a href=\"#\">about</a></nav>'"
+                " || (CASE WHEN size(__w) > 0 THEN "
+                f"array_join(transform(sequence(0, (size(__w)+9) div 10 - 1), "
+                f"i -> {block}), '') ELSE '' END)"
+                " || '<footer>fine print</footer></body></html>'"
+            ).alias("html"),
+        )
+    )
+    return justext_blocks(planted)
 
 
 def _pii_redaction(spark, sf_dir):
@@ -3298,11 +3354,12 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-13: new operators this round (no evidence yet)
+    # slots 10-14: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
     "dsir_selection",
+    "justext_extraction",
     # slots 12-15: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3342,10 +3399,9 @@ _DRIVER_WINDOW = [
     "repetition_metrics",
     "t8_id_derivation",
     "text_quality_punct",
-    "text_token_counts",
-    # text_tokens_bpe + tpch_q1/q3/q6 (alphabetically last of the
-    # r3-age set) rotate into r7 with url_host_stats — displaced by
-    # the four new-operator slots
+    # text_token_counts + text_tokens_bpe + tpch_q1/q3/q6
+    # (alphabetically last of the r3-age set) rotate into r7 with
+    # url_host_stats — displaced by the five new-operator slots
 ]
 
 
@@ -3477,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": _semdedup_keep,
         "c4_line_filter": _c4_line_filter,
         "dsir_selection": _dsir_selection,
+        "justext_extraction": _justext_extraction,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4507,6 +4564,105 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                        x -> x <> ''), chr(10))
                 ELSE '' END AS kept_text
             FROM c
+        """,
+        # jusText DOM heuristics over the planted markup; DuckDB lists
+        # are 1-based (cc[i], b[i]) vs Spark's 0-based __jx_c[i]; the
+        # 'g' flag on regexp_replace mirrors Spark's global default
+        "justext_extraction": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ww
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                    '<html><head><title>t</title></head><body>'
+                    || '<nav><a href="#">home</a> <a href="#">about</a></nav>'
+                    || (CASE WHEN len(ww) > 0 THEN array_to_string(
+                         list_transform(range(0, (len(ww)+9)//10), i ->
+                           CASE (doc_id + i) % 5
+                           WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
+                             THEN '<p class="m"><a href="#">'
+                                  || array_to_string(list_slice(ww, i*10+1, i*10+10), ' ')
+                                  || '</a></p>'
+                             ELSE '<p>' || array_to_string(list_slice(ww, i*10+1, i*10+10), ' ')
+                                  || ' the of and to in a the of and to in a</p>' END)
+                           WHEN 1 THEN '<p>'
+                                || array_to_string(list_slice(ww, i*10+1, i*10+2), ' ')
+                                || '</p>'
+                           WHEN 2 THEN '<p>' || array_to_string(list_slice(ww, i*10+1, i*10+10), ' ')
+                                || ' the of and to in a the of and to in a</p>'
+                           WHEN 3 THEN '<li>' || array_to_string(list_slice(ww, i*10+1, i*10+10), ' ')
+                                || ' the of and</li>'
+                           ELSE '<p>' || array_to_string(list_slice(ww, i*10+1, i*10+10), ' ')
+                                || '</p>' END
+                         ), '') ELSE '' END)
+                    || '<footer>fine print</footer></body></html>' AS html
+                FROM w
+            ), fb AS (
+                SELECT doc_id, list_filter(list_transform(
+                    regexp_extract_all(html,
+                        '<(?:p|li|h1)[^>]*>(.*?)</(?:p|li|h1)>', 1),
+                    x -> {{
+                      'txt': trim(regexp_replace(regexp_replace(x,
+                                 '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')),
+                      'link_chars': coalesce(list_sum(list_transform(
+                          regexp_extract_all(x, '<a[^>]*>(.*?)</a>', 1),
+                          a -> len(trim(regexp_replace(regexp_replace(a,
+                                   '<[^>]+>', ' ', 'g'), ' +', ' ', 'g'))))), 0)
+                    }}), s -> s.txt <> '') AS f
+                FROM h
+            ), m AS (
+                SELECT doc_id, list_transform(f, s -> {{
+                    'txt': s.txt,
+                    'chars': len(s.txt),
+                    'words': len(string_split(s.txt, ' ')),
+                    'stops': len(list_filter(string_split(s.txt, ' '),
+                        w2 -> list_contains({_jx_stop_duck()}, w2))),
+                    'link_chars': s.link_chars}}) AS b
+                FROM fb
+            ), c AS (
+                SELECT doc_id, b, len(b) AS n,
+                    list_transform(b, s ->
+                        CASE WHEN 5 * s.link_chars > s.chars THEN 3
+                             WHEN s.chars < 40 THEN
+                                  (CASE WHEN s.link_chars > 0 THEN 3 ELSE 2 END)
+                             WHEN 25 * s.stops >= 8 * s.words THEN
+                                  (CASE WHEN s.chars > 80 THEN 0 ELSE 1 END)
+                             WHEN 50 * s.stops >= 9 * s.words THEN 1
+                             ELSE 3 END) AS cc
+                FROM m
+            ), fin AS (
+                SELECT doc_id, b, cc, n,
+                    list_transform(range(1, n + 1), i ->
+                        CASE WHEN cc[i] = 0 THEN 0
+                             WHEN cc[i] = 3 THEN 3
+                             WHEN cc[i] = 1 THEN (CASE WHEN
+                                coalesce((list_filter(list_slice(cc, 1, i - 1),
+                                    c2 -> c2 = 0 OR c2 = 3))[-1], 3) = 0
+                                OR coalesce((list_filter(list_slice(cc, i + 1, n),
+                                    c2 -> c2 = 0 OR c2 = 3))[1], 3) = 0
+                                THEN 0 ELSE 3 END)
+                             ELSE (CASE WHEN
+                                coalesce((list_filter(list_slice(cc, 1, i - 1),
+                                    c2 -> c2 = 0 OR c2 = 3))[-1], 3) = 0
+                                AND coalesce((list_filter(list_slice(cc, i + 1, n),
+                                    c2 -> c2 = 0 OR c2 = 3))[1], 3) = 0
+                                THEN 0 ELSE 3 END)
+                        END) AS ff
+                FROM c
+            )
+            SELECT doc_id,
+                CAST(n AS BIGINT) AS n_blocks,
+                CAST(len(list_filter(cc, c2 -> c2 = 0)) AS BIGINT) AS n_cf_good,
+                CAST(len(list_filter(cc, c2 -> c2 = 1)) AS BIGINT) AS n_cf_neargood,
+                CAST(len(list_filter(cc, c2 -> c2 = 2)) AS BIGINT) AS n_cf_short,
+                CAST(len(list_filter(cc, c2 -> c2 = 3)) AS BIGINT) AS n_cf_bad,
+                CAST(len(list_filter(ff, c2 -> c2 = 0)) AS BIGINT) AS n_final_good,
+                coalesce(array_to_string(list_filter(
+                    list_transform(range(1, n + 1),
+                        i -> CASE WHEN ff[i] = 0 THEN b[i].txt ELSE '' END),
+                    x -> x <> ''), chr(10)), '') AS main_text
+            FROM fin
         """,
         # DSIR: hashed {1,2}-gram bag models (md5-fold buckets replay
         # bit-for-bit), micro-nat log-ratios, away-from-zero integer

@@ -79,3 +79,29 @@ def test_dsir_selection_generalizes_style(con):
     assert wiki_rate > 0.9, wiki_rate    # generalizes beyond the seed
     assert spam_rate < 0.5, spam_rate    # and rejects the other style
     assert 0 in sel.values() and 1 in sel.values()
+
+
+def test_justext_every_class_and_transition_fires(con):
+    """The planted markup must exercise every context-free class AND
+    all four context-pass transitions (short->good, short->bad,
+    near_good->good, near_good->bad) — otherwise the neighbour
+    smoothing passes the hash gate vacuously."""
+    df = con.execute(entry_mod.oracle_sql()["justext_extraction"]).df()
+    for c in ("n_cf_good", "n_cf_neargood", "n_cf_short", "n_cf_bad"):
+        assert (df[c] > 0).sum() > 0, c
+    up = df["n_final_good"] - df["n_cf_good"]          # flips up
+    cap = df["n_cf_neargood"] + df["n_cf_short"]       # flippable
+    # short->good: a doc with NO near_goods still gained finals
+    assert ((df["n_cf_neargood"] == 0) & (up > 0)).any()
+    # short->bad: a doc with NO near_goods kept some shorts down
+    assert ((df["n_cf_neargood"] == 0) & (df["n_cf_short"] > 0) & (up < df["n_cf_short"])).any()
+    # near_good->good: a doc with NO shorts gained finals
+    assert ((df["n_cf_short"] == 0) & (up > 0)).any()
+    # near_good->bad: a doc with NO shorts lost some near_goods
+    assert ((df["n_cf_short"] == 0) & (df["n_cf_neargood"] > 0) & (up < df["n_cf_neargood"])).any()
+    assert (up <= cap).all() and (up >= 0).all()
+    # the <nav>/<footer> wrapper must never leak into main_text
+    assert not df["main_text"].str.contains("fine print").any()
+    assert not df["main_text"].str.contains("about").any()
+    assert (df.loc[df["n_final_good"] > 0, "main_text"].str.len() > 0).all()
+    assert (df.loc[df["n_final_good"] == 0, "main_text"] == "").all()
