@@ -1119,6 +1119,56 @@ def _justext_extraction(spark, sf_dir):
     return justext_blocks(planted)
 
 
+def _boilerpipe_extraction(spark, sf_dir):
+    """Boilerpipe NumWordsRules content extraction (Kohlschütter 2010)
+    via operators/boilerpipe.py::boilerpipe_blocks — neighbour word
+    counts + two integer link-density splits, zero shuffle, per-leaf
+    counters and the full content_text hash-compared.
+
+    The plant chunks each document's words into 3-word runs padded
+    with ' x' filler to pin exact word counts; block i takes a shape
+    from pmod(doc_id + i, 8), so every block's (prev, curr, next)
+    triple is determined and ALL EIGHT leaves of the decision tree
+    fire somewhere in the corpus (pinned non-vacuous in
+    test_oracle_nonvacuous.py): shape 0 is a fully-linked block
+    (leaf 1); its successor shape 1 sees prev link density 1 > 5/9
+    and hits leaf 6 / 7 / 8 as doc_id % 3 varies the word counts;
+    shapes 2-7 walk leaves 2-5 including both document edges (block 0
+    and the last block see the 0-word sentinel neighbour)."""
+    from google_vision_ocr_spark.operators.boilerpipe import boilerpipe_blocks
+
+    chunk = "array_join(slice(__w, i*3+1, 3), ' ')"
+    block = (
+        "CASE pmod(doc_id + i, 8) "
+        f"WHEN 0 THEN '<p><a href=\"#\">' || {chunk} || repeat(' x', 3) || '</a></p>' "
+        f"WHEN 1 THEN '<p>' || {chunk} || repeat(' x', "
+        "CASE WHEN doc_id % 3 = 1 THEN 47 ELSE 7 END) || '</p>' "
+        f"WHEN 2 THEN '<p>' || {chunk} || repeat(' x', "
+        "CASE WHEN doc_id % 3 = 2 THEN 17 ELSE 9 END) || '</p>' "
+        f"WHEN 3 THEN '<p>' || {chunk} || repeat(' x', 17) || '</p>' "
+        f"WHEN 4 THEN '<p>' || {chunk} || ' x</p>' "
+        f"WHEN 5 THEN '<p>' || {chunk} || repeat(' x', 5) || '</p>' "
+        f"WHEN 6 THEN '<li>' || {chunk} || repeat(' x', 3) || '</li>' "
+        f"ELSE '<p>' || {chunk} || repeat(' x', 42) || '</p>' END"
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("__w"))
+        .select(
+            "doc_id",
+            F.expr(
+                "'<html><head><title>t</title></head><body>"
+                "<nav><a href=\"#\">home</a> <a href=\"#\">about</a></nav>'"
+                " || (CASE WHEN size(__w) > 0 THEN "
+                f"array_join(transform(sequence(0, (size(__w)+2) div 3 - 1), "
+                f"i -> {block}), '') ELSE '' END)"
+                " || '<footer>fine print</footer></body></html>'"
+            ).alias("html"),
+        )
+    )
+    return boilerpipe_blocks(planted)
+
+
 def _pii_redaction(spark, sf_dir):
     """C4/CCNet-style PII scrub, falsifiable: every row gets planted
     PII (email, IPv4, long digit run derived from doc_id), then the
@@ -3354,23 +3404,24 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-14: new operators this round (no evidence yet)
+    # slots 10-15: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
     "dsir_selection",
     "justext_extraction",
-    # slots 12-15: first-ever hash evidence (r6 replayable oracles)
+    "boilerpipe_extraction",
+    # slots 16-19: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "lsh_bucket_histogram",
-    # slots 16-19: code changed this round
+    # slots 20-23: code changed this round
     "w2_row_number",
     "quantile_sketch_merge",
     "events_user_lag",
     "ann_lsh_pruned_multiprobe",
-    # slots 20-50: oldest evidence (last hash-green in the r3 window)
+    # slots 24-50: oldest evidence (last hash-green in the r3 window)
     "a2_merged_chapters",
     "ann_bruteforce_cosine",
     "ann_ivf_cosine",
@@ -3398,10 +3449,10 @@ _DRIVER_WINDOW = [
     "quality_scores",
     "repetition_metrics",
     "t8_id_derivation",
-    "text_quality_punct",
-    # text_token_counts + text_tokens_bpe + tpch_q1/q3/q6
-    # (alphabetically last of the r3-age set) rotate into r7 with
-    # url_host_stats — displaced by the five new-operator slots
+    # text_quality_punct + text_token_counts + text_tokens_bpe +
+    # tpch_q1/q3/q6 (alphabetically last of the r3-age set) rotate
+    # into r7 with url_host_stats — displaced by the six
+    # new-operator slots
 ]
 
 
@@ -3534,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _c4_line_filter,
         "dsir_selection": _dsir_selection,
         "justext_extraction": _justext_extraction,
+        "boilerpipe_extraction": _boilerpipe_extraction,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4663,6 +4715,109 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                         i -> CASE WHEN ff[i] = 0 THEN b[i].txt ELSE '' END),
                     x -> x <> ''), chr(10)), '') AS main_text
             FROM fin
+        """,
+        # boilerpipe NumWordsRules over the planted markup; neighbour
+        # access = out-of-range list index -> NULL -> coalesce(., 0)
+        # (Spark side pads sentinel arrays instead); DuckDB lists are
+        # 1-based so leaf[i]/bl[i] run over range(1, n+1)
+        "boilerpipe_extraction": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ww
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                    '<html><head><title>t</title></head><body>'
+                    || '<nav><a href="#">home</a> <a href="#">about</a></nav>'
+                    || (CASE WHEN len(ww) > 0 THEN array_to_string(
+                         list_transform(range(0, (len(ww)+2)//3), i ->
+                           CASE (doc_id + i) % 8
+                           WHEN 0 THEN '<p><a href="#">'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', 3) || '</a></p>'
+                           WHEN 1 THEN '<p>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', CASE WHEN doc_id % 3 = 1
+                                                THEN 47 ELSE 7 END) || '</p>'
+                           WHEN 2 THEN '<p>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', CASE WHEN doc_id % 3 = 2
+                                                THEN 17 ELSE 9 END) || '</p>'
+                           WHEN 3 THEN '<p>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', 17) || '</p>'
+                           WHEN 4 THEN '<p>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || ' x</p>'
+                           WHEN 5 THEN '<p>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', 5) || '</p>'
+                           WHEN 6 THEN '<li>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', 3) || '</li>'
+                           ELSE '<p>'
+                                || array_to_string(list_slice(ww, i*3+1, i*3+3), ' ')
+                                || repeat(' x', 42) || '</p>' END
+                         ), '') ELSE '' END)
+                    || '<footer>fine print</footer></body></html>' AS html
+                FROM w
+            ), fb AS (
+                SELECT doc_id, list_filter(list_transform(
+                    regexp_extract_all(html,
+                        '<(?:p|li|h1)[^>]*>(.*?)</(?:p|li|h1)>', 1),
+                    x -> {
+                      'txt': trim(regexp_replace(regexp_replace(x,
+                                 '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')),
+                      'lw': coalesce(list_sum(list_transform(
+                          list_filter(list_transform(
+                              regexp_extract_all(x, '<a[^>]*>(.*?)</a>', 1),
+                              a -> trim(regexp_replace(regexp_replace(a,
+                                       '<[^>]+>', ' ', 'g'), ' +', ' ', 'g'))),
+                              t -> t <> ''),
+                          t -> len(string_split(t, ' ')))), 0)
+                    }), s -> s.txt <> '') AS bl
+                FROM h
+            ), m AS (
+                SELECT doc_id, len(bl) AS n, bl,
+                    list_transform(bl, s -> len(string_split(s.txt, ' '))) AS wl,
+                    list_transform(bl, s -> CAST(s.lw AS BIGINT)) AS ll
+                FROM fb
+            ), lv AS (
+                SELECT doc_id, n, bl,
+                    list_transform(range(1, n + 1), i ->
+                        CASE WHEN 3 * ll[i] > wl[i] THEN 1
+                             WHEN 9 * coalesce(ll[i-1], 0)
+                                  <= 5 * coalesce(wl[i-1], 0) THEN
+                                  (CASE WHEN wl[i] > 16 THEN 5
+                                        WHEN coalesce(wl[i+1], 0) > 15 THEN 4
+                                        WHEN coalesce(wl[i-1], 0) > 4 THEN 3
+                                        ELSE 2 END)
+                             ELSE (CASE WHEN wl[i] > 40 THEN 8
+                                        WHEN coalesce(wl[i+1], 0) > 17 THEN 7
+                                        ELSE 6 END)
+                        END) AS leaf
+                FROM m
+            )
+            SELECT doc_id,
+                CAST(n AS BIGINT) AS n_blocks,
+                CAST(len(list_filter(leaf, c -> c IN (3,4,5,7,8)))
+                     AS BIGINT) AS n_content,
+                CAST(len(list_filter(leaf, c -> c NOT IN (3,4,5,7,8)))
+                     AS BIGINT) AS n_boiler,
+                CAST(len(list_filter(leaf, c -> c = 1)) AS BIGINT) AS n_l1,
+                CAST(len(list_filter(leaf, c -> c = 2)) AS BIGINT) AS n_l2,
+                CAST(len(list_filter(leaf, c -> c = 3)) AS BIGINT) AS n_l3,
+                CAST(len(list_filter(leaf, c -> c = 4)) AS BIGINT) AS n_l4,
+                CAST(len(list_filter(leaf, c -> c = 5)) AS BIGINT) AS n_l5,
+                CAST(len(list_filter(leaf, c -> c = 6)) AS BIGINT) AS n_l6,
+                CAST(len(list_filter(leaf, c -> c = 7)) AS BIGINT) AS n_l7,
+                CAST(len(list_filter(leaf, c -> c = 8)) AS BIGINT) AS n_l8,
+                coalesce(array_to_string(list_filter(
+                    list_transform(range(1, n + 1),
+                        i -> CASE WHEN leaf[i] IN (3,4,5,7,8)
+                                  THEN bl[i].txt ELSE '' END),
+                    x -> x <> ''), chr(10)), '') AS content_text
+            FROM lv
         """,
         # DSIR: hashed {1,2}-gram bag models (md5-fold buckets replay
         # bit-for-bit), micro-nat log-ratios, away-from-zero integer

@@ -9,7 +9,7 @@ context-sensitive smoothing pass over neighbouring blocks — expressed
 entirely with JVM higher-order functions over the in-row block array.
 **Zero shuffle, zero Python**: at 100 TB this is a pure scan-side map
 that composes with any downstream dedup/packing stage without adding
-an exchange (plan-asserted in ``tests/test_plan_shapes.py``).
+an exchange (plan-asserted in ``tests/test_justext.py``).
 
 Algorithm (fixed, documented parameters; all density comparisons are
 exact integer cross-multiplications so the DuckDB oracle replays them

@@ -105,3 +105,19 @@ def test_justext_every_class_and_transition_fires(con):
     assert not df["main_text"].str.contains("about").any()
     assert (df.loc[df["n_final_good"] > 0, "main_text"].str.len() > 0).all()
     assert (df.loc[df["n_final_good"] == 0, "main_text"] == "").all()
+
+
+def test_boilerpipe_every_leaf_fires(con):
+    """The planted markup must reach ALL EIGHT leaves of the
+    NumWordsRules tree — a plant that never enters the
+    prev-link-density branch (leaves 6-8) would pass the hash gate
+    without ever testing it."""
+    df = con.execute(entry_mod.oracle_sql()["boilerpipe_extraction"]).df()
+    for c in [f"n_l{i}" for i in range(1, 9)]:
+        assert (df[c] > 0).sum() > 0, c
+    assert (df["n_content"] + df["n_boiler"] == df["n_blocks"]).all()
+    # the <nav>/<footer> wrapper must never leak into content_text
+    assert not df["content_text"].str.contains("fine print").any()
+    assert not df["content_text"].str.contains("about").any()
+    assert (df.loc[df["n_content"] > 0, "content_text"].str.len() > 0).all()
+    assert (df.loc[df["n_content"] == 0, "content_text"] == "").all()
