@@ -1119,6 +1119,20 @@ def _justext_extraction(spark, sf_dir):
     return justext_blocks(planted)
 
 
+def _ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language
+    (Wenzek 2020) via operators/ccnet.py::perplexity_buckets — the
+    unigram-LM micro scores bucketed through the DDSketch integer
+    code so the per-lang cutoffs come from a BOUNDED histogram
+    (no corpus-scale window; see the module docstring).  The oracle
+    replays train -> score -> code -> cumulative cutoff -> label, so
+    vocabulary truncation, the half-up integer mean, the monotone
+    code and the tercile tie rule are all hash-checked per document."""
+    from google_vision_ocr_spark.operators.ccnet import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 def _boilerpipe_extraction(spark, sf_dir):
     """Boilerpipe NumWordsRules content extraction (Kohlschütter 2010)
     via operators/boilerpipe.py::boilerpipe_blocks — neighbour word
@@ -3404,13 +3418,14 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-15: new operators this round (no evidence yet)
+    # slots 10-16: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
     "dsir_selection",
     "justext_extraction",
     "boilerpipe_extraction",
+    "ccnet_perplexity_buckets",
     # slots 16-19: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3448,11 +3463,10 @@ _DRIVER_WINDOW = [
     "pii_redaction",
     "quality_scores",
     "repetition_metrics",
-    "t8_id_derivation",
-    # text_quality_punct + text_token_counts + text_tokens_bpe +
-    # tpch_q1/q3/q6 (alphabetically last of the r3-age set) rotate
-    # into r7 with url_host_stats — displaced by the six
-    # new-operator slots
+    # t8_id_derivation + text_quality_punct + text_token_counts +
+    # text_tokens_bpe + tpch_q1/q3/q6 (alphabetically last of the
+    # r3-age set) rotate into r7 with url_host_stats — displaced by
+    # the seven new-operator slots
 ]
 
 
@@ -3586,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _dsir_selection,
         "justext_extraction": _justext_extraction,
         "boilerpipe_extraction": _boilerpipe_extraction,
+        "ccnet_perplexity_buckets": _ccnet_buckets,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4818,6 +4833,67 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                                   THEN bl[i].txt ELSE '' END),
                     x -> x <> ''), chr(10)), '') AS content_text
             FROM lv
+        """,
+        # CCNet terciles: replay train -> micro score -> half-up mean
+        # -> DDSketch code -> bounded cumulative cutoffs -> label.
+        # All values non-negative, so DuckDB // == Spark div here.
+        "ccnet_perplexity_buckets": r"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          t -> t <> '')) AS word
+                FROM documents
+            ), counts AS (
+                SELECT word, count(*) AS cnt FROM w GROUP BY word
+            ), tot AS (
+                SELECT sum(cnt) AS total FROM counts
+            ), vocab AS (
+                SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 1000
+            ), scored AS (
+                SELECT doc_id, lang,
+                       CAST(round(-ln(coalesce(v.cnt, 1)
+                                      / CAST(total AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS nlp_u
+                FROM w LEFT JOIN vocab v USING (word), tot
+            ), g AS (
+                SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(nlp_u) AS BIGINT) AS s
+                FROM scored GROUP BY doc_id, lang
+            ), sc AS (
+                SELECT doc_id, lang, n_words,
+                       CAST((2 * s + n_words) // (2 * n_words) AS BIGINT)
+                           AS nlp_micro
+                FROM g
+            ), cd AS (
+                SELECT *,
+                    CASE WHEN nlp_micro = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(length(bin(nlp_micro)) * 4096
+                              + (nlp_micro >> greatest(
+                                    length(bin(nlp_micro)) - 12, 0))
+                              AS BIGINT) END AS qs_code
+                FROM sc
+            ), hist AS (
+                SELECT lang, qs_code, count(*) AS cnt
+                FROM cd GROUP BY lang, qs_code
+            ), cw AS (
+                SELECT lang, qs_code,
+                       sum(cnt) OVER (PARTITION BY lang
+                                      ORDER BY qs_code) AS cum,
+                       sum(cnt) OVER (PARTITION BY lang) AS n
+                FROM hist
+            ), cuts AS (
+                SELECT lang,
+                       min(qs_code) FILTER (WHERE n // 3 >= 1
+                                            AND cum >= n // 3) AS t1,
+                       min(qs_code) FILTER (WHERE (2 * n) // 3 >= 1
+                                            AND cum >= (2 * n) // 3) AS t2
+                FROM cw GROUP BY lang
+            )
+            SELECT cd.doc_id, cd.lang, cd.n_words, cd.nlp_micro, cd.qs_code,
+                   CASE WHEN t1 IS NOT NULL AND qs_code <= t1 THEN 'head'
+                        WHEN t2 IS NOT NULL AND qs_code <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cd JOIN cuts ON cd.lang IS NOT DISTINCT FROM cuts.lang
         """,
         # DSIR: hashed {1,2}-gram bag models (md5-fold buckets replay
         # bit-for-bit), micro-nat log-ratios, away-from-zero integer

@@ -121,3 +121,24 @@ def test_boilerpipe_every_leaf_fires(con):
     assert not df["content_text"].str.contains("about").any()
     assert (df.loc[df["n_content"] > 0, "content_text"].str.len() > 0).all()
     assert (df.loc[df["n_content"] == 0, "content_text"] == "").all()
+
+
+def test_ccnet_all_three_buckets_fire_per_lang(con):
+    """Every language must land docs in head AND middle AND tail —
+    round-6 caught the 1/32-octave code collapsing middle to zero
+    (cells too coarse for the narrow score band); this pins the
+    12-bit refinement.  Also pins the cumulative-crossing contract:
+    head >= n div 3 and head+middle >= (2n) div 3 per language."""
+    df = con.execute(entry_mod.oracle_sql()["ccnet_perplexity_buckets"]).df()
+    for lang, g in df.groupby("lang"):
+        n = len(g)
+        counts = g["bucket"].value_counts()
+        for b in ("head", "middle", "tail"):
+            assert counts.get(b, 0) > 0, f"{lang}: no {b}"
+        assert counts["head"] >= n // 3, lang
+        assert counts["head"] + counts["middle"] >= (2 * n) // 3, lang
+        # buckets respect the monotone code ordering
+        assert g.loc[g["bucket"] == "head", "qs_code"].max() < \
+            g.loc[g["bucket"] == "middle", "qs_code"].min()
+        assert g.loc[g["bucket"] == "middle", "qs_code"].max() < \
+            g.loc[g["bucket"] == "tail", "qs_code"].min()
