@@ -1119,6 +1119,64 @@ def _justext_extraction(spark, sf_dir):
     return justext_blocks(planted)
 
 
+def _surt_url_dedup(spark, sf_dir):
+    """Exact URL dedup on the SURT key (functions/urls.py::surt_key) —
+    the web-archive canonical form: reversed-host prefix, sorted query
+    params, riding the full canonicalize_url rule chain.  Unlike
+    url_host_stats (whose oracle constructs a clean URL directly),
+    this oracle REPLAYS the whole regex canonicalization + SURT
+    transform on noisy variants, so every rule — case, :443, www,
+    fragment, tracking-param removal, separator cleanup, host
+    reversal, param sort — is hash-checked.
+
+    Plant: each doc emits 1 + doc_id%3 raw variants that differ ONLY
+    in case / default port / www / fragment / tracking params / param
+    order (they must collapse to one SURT); docs with doc_id%7 == 0
+    share a 'dup' host and a pair-wise path id, so cross-document
+    dupes exist and the keep-min rule is observable.  Dedup is the
+    de-skewed house shape: one groupBy on the SURT key (min-struct),
+    no window."""
+    from google_vision_ocr_spark.functions.urls import surt_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 'dup' ELSE source END"
+        ).alias("__h"),
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN doc_id - (doc_id % 14) "
+            "ELSE doc_id END"
+        ).alias("__pid"),
+    )
+    variants = d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, doc_id % 3)")).alias("__v"),
+        "__h",
+        "__pid",
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE __v "
+            "WHEN 0 THEN 'https://www.' || __h || '.example.org:443/Docs/' "
+            "  || __pid || '?b=2&a=1#frag' "
+            "WHEN 1 THEN 'HTTPS://' || __h || '.EXAMPLE.org/Docs/' "
+            "  || __pid || '?a=1&utm_source=x&b=2' "
+            "ELSE 'https://' || __h || '.example.org/Docs/' "
+            "  || __pid || '?b=2&gclid=abc&a=1' END"
+        ).alias("url"),
+    )
+    return (
+        variants.select("doc_id", "url", surt_key(F.col("url")).alias("surt"))
+        .groupBy("surt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min("url").alias("first_raw_url"),
+        )
+    )
+
+
 def _ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity terciles per language
     (Wenzek 2020) via operators/ccnet.py::perplexity_buckets — the
@@ -3418,7 +3476,7 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-16: new operators this round (no evidence yet)
+    # slots 10-17: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
@@ -3426,6 +3484,7 @@ _DRIVER_WINDOW = [
     "justext_extraction",
     "boilerpipe_extraction",
     "ccnet_perplexity_buckets",
+    "surt_url_dedup",
     # slots 16-19: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3462,11 +3521,10 @@ _DRIVER_WINDOW = [
     "paragraph_dedup",
     "pii_redaction",
     "quality_scores",
-    "repetition_metrics",
-    # t8_id_derivation + text_quality_punct + text_token_counts +
-    # text_tokens_bpe + tpch_q1/q3/q6 (alphabetically last of the
-    # r3-age set) rotate into r7 with url_host_stats — displaced by
-    # the seven new-operator slots
+    # repetition_metrics + t8_id_derivation + text_quality_punct +
+    # text_token_counts + text_tokens_bpe + tpch_q1/q3/q6
+    # (alphabetically last of the r3-age set) rotate into r7 with
+    # url_host_stats — displaced by the eight new-operator slots
 ]
 
 
@@ -3601,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_extraction": _justext_extraction,
         "boilerpipe_extraction": _boilerpipe_extraction,
         "ccnet_perplexity_buckets": _ccnet_buckets,
+        "surt_url_dedup": _surt_url_dedup,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4894,6 +4953,85 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                         WHEN t2 IS NOT NULL AND qs_code <= t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM cd JOIN cuts ON cd.lang IS NOT DISTINCT FROM cuts.lang
+        """,
+        # full canonicalize_url + SURT replay on the noisy variants;
+        # DuckDB backrefs are \1 where Spark's are $1, and tracking /
+        # separator cleanup rules need the explicit 'g' flag to match
+        # Spark's global-by-default regexp_replace
+        "surt_url_dedup": r"""
+            WITH d AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0 THEN 'dup' ELSE source END AS h,
+                    CASE WHEN doc_id % 7 = 0 THEN doc_id - (doc_id % 14)
+                         ELSE doc_id END AS pid
+                FROM documents
+            ), v AS (
+                SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS vv, h, pid
+                FROM d
+            ), raw AS (
+                SELECT doc_id,
+                    CASE vv
+                    WHEN 0 THEN 'https://www.' || h || '.example.org:443/Docs/'
+                         || pid || '?b=2&a=1#frag'
+                    WHEN 1 THEN 'HTTPS://' || h || '.EXAMPLE.org/Docs/'
+                         || pid || '?a=1&utm_source=x&b=2'
+                    ELSE 'https://' || h || '.example.org/Docs/'
+                         || pid || '?b=2&gclid=abc&a=1' END AS url
+                FROM v
+            ), c0 AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+                    || lower(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                    || regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS c
+                FROM raw
+            ), c8 AS (
+                SELECT doc_id, url,
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(c,
+                        '^(https://[^/?#:]*):443($|[/?#].*)', '\1\2'),
+                        '^(http://[^/?#:]*):80($|[/?#].*)', '\1\2'),
+                        '^(https?://)www\.', '\1'),
+                        '#.*$', ''),
+                        '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                        '&&+', '&', 'g'),
+                        '\?&', '?'),
+                        '[?&]+$', '') AS c
+                FROM c0
+            ), parts AS (
+                SELECT doc_id, url,
+                    regexp_extract(c,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+                    regexp_extract(c,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1)
+                        AS port,
+                    regexp_extract(c,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS tail
+                FROM c8
+            ), surted AS (
+                SELECT doc_id, url,
+                    array_to_string(list_reverse(string_split(host, '.')), ',')
+                    || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+                    || ')'
+                    || regexp_replace(tail, '\?.*$', '')
+                    || CASE WHEN array_to_string(list_sort(list_filter(
+                           string_split(regexp_extract(tail, '\?(.*)$', 1),
+                                        '&'), x -> x <> '')), '&') <> ''
+                       THEN '?' || array_to_string(list_sort(list_filter(
+                           string_split(regexp_extract(tail, '\?(.*)$', 1),
+                                        '&'), x -> x <> '')), '&')
+                       ELSE '' END AS surt
+                FROM parts
+            )
+            SELECT surt,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keep_doc_id,
+                   min(url) AS first_raw_url
+            FROM surted GROUP BY surt
         """,
         # DSIR: hashed {1,2}-gram bag models (md5-fold buckets replay
         # bit-for-bit), micro-nat log-ratios, away-from-zero integer

@@ -151,3 +151,43 @@ def filter_blocklisted_domains(
     domained = with_registrable_domain(df, url_col=url_col, psl=psl)
     clean = blocklist.select(F.lower(F.col("domain")).alias("domain"))
     return domained.join(F.broadcast(clean), "domain", "left_anti")
+
+
+def surt_key(col: Column) -> Column:
+    """Sort-friendly URI Reordering Transform of a raw URL —
+    ``org,example,news)/path?a=1&b=2`` — the key web archives
+    (Heritrix/OpenWayback's SURT) dedupe and range-scan by.
+
+    Built on :func:`canonicalize_url` (lowercased scheme/host, default
+    ports and ``www.`` and fragments and tracking params gone), then:
+
+    - the scheme is dropped;
+    - host labels reverse into a comma-joined big-endian prefix, a
+      non-default port (kept by canonicalization) follows it, and
+      ``)`` closes the authority;
+    - query parameters sort lexicographically (``?b=2&a=1`` and
+      ``?a=1&b=2`` are the same resource to a crawler).
+
+    Why it matters at 10^12 rows: a corpus sorted/range-partitioned by
+    SURT co-locates every host and every registrable domain in
+    contiguous key ranges, so per-domain scans become partition-pruned
+    prefix scans and exact URL dedup shuffles uniformly (the key
+    starts with the well-distributed reversed host, not ``https://``).
+    Pure JVM built-ins, zero Python, RE2-compatible patterns.
+    """
+    c = canonicalize_url(col)
+    host = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    port = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)", 1)
+    tail = F.regexp_extract(c, _TAIL, 1)
+    path = F.regexp_replace(tail, r"\?.*$", "")
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != F.lit(""))), "&"
+    )
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )

@@ -142,3 +142,22 @@ def test_ccnet_all_three_buckets_fire_per_lang(con):
             g.loc[g["bucket"] == "middle", "qs_code"].min()
         assert g.loc[g["bucket"] == "middle", "qs_code"].max() < \
             g.loc[g["bucket"] == "tail", "qs_code"].min()
+
+
+def test_surt_dedup_actually_collapses(con):
+    """Cross-document dupes (shared 'dup' host pairs) AND multi-variant
+    collapse (case/port/www/fragment/tracking/param-order noise) must
+    both be present — without them the SURT gate never tests the
+    canonicalization rules."""
+    df = con.execute(entry_mod.oracle_sql()["surt_url_dedup"]).df()
+    assert (df["n_docs"] == 2).sum() > 0          # cross-doc pairs
+    assert (df["n_urls"] > df["n_docs"]).sum() > 0  # variant collapse
+    assert (df["n_urls"] == 1).sum() > 0          # and genuine uniques
+    # every SURT is in canonical shape: no scheme, no www label, no
+    # fragment, no tracking params, sorted query
+    s = df["surt"]
+    assert not s.str.contains("://").any()
+    assert not s.str.startswith("www").any()
+    assert not s.str.contains("#").any()
+    assert not s.str.contains("utm_|gclid", regex=True).any()
+    assert s.str.contains(r"\)").all()
