@@ -1029,6 +1029,53 @@ def _c4_line_filter(spark, sf_dir):
     )
 
 
+def _canon_duck(col: str) -> str:
+    """Nested-expression DuckDB replay of
+    functions/urls.py::canonicalize_url — one source for every oracle
+    that rides the canonicalization chain (surt_url_dedup,
+    link_graph_extraction).  DuckDB backrefs are \\1 where Spark's are
+    $1; rules Spark applies globally get the explicit 'g' flag."""
+    c = (
+        f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+        f" || '://' || lower(regexp_extract({col},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+        f" || regexp_extract({col},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    )
+    for pat, rep, *flag in [
+        (r"^(https://[^/?#:]*):443($|[/?#].*)", r"\1\2"),
+        (r"^(http://[^/?#:]*):80($|[/?#].*)", r"\1\2"),
+        (r"^(https?://)www\.", r"\1"),
+        (r"#.*$", ""),
+        (r"(utm_[a-z]+|fbclid|gclid)=[^&#]*", "", "g"),
+        (r"&&+", "&", "g"),
+        (r"\?&", "?"),
+        (r"[?&]+$", ""),
+    ]:
+        f = f", '{flag[0]}'" if flag else ""
+        c = f"regexp_replace({c}, '{pat}', '{rep}'{f})"
+    return c
+
+
+#: SURT assembly from a column holding the CANONICALIZED url (the
+#: c -> (host, port, tail) -> reversed-host + sorted-query transform
+#: of functions/urls.py::surt_key), as one DuckDB scalar expression.
+def _surt_duck(c: str) -> str:
+    host = f"regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)"
+    port = f"regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1)"
+    tail = f"regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    sq = (
+        f"array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({tail}, '\\?(.*)$', 1), '&'), x -> x <> '')), '&')"
+    )
+    return (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f" || CASE WHEN {port} <> '' THEN ':' || {port} ELSE '' END || ')'"
+        f" || regexp_replace({tail}, '\\?.*$', '')"
+        f" || CASE WHEN {sq} <> '' THEN '?' || {sq} ELSE '' END"
+    )
+
+
 #: DuckDB list literal of operators/justext.py::STOPLIST (one source)
 def _jx_stop_duck() -> str:
     from google_vision_ocr_spark.operators.justext import STOPLIST
@@ -1117,6 +1164,45 @@ def _justext_extraction(spark, sf_dir):
         )
     )
     return justext_blocks(planted)
+
+
+def _link_graph_extraction(spark, sf_dir):
+    """Hyperlink edge extraction (operators/linkgraph.py) — hrefs +
+    anchor text out of planted markup, root-relative resolution
+    against the page origin, non-fetchable schemes dropped, targets
+    SURT-normalized, aggregated to (src_host, dst_surt) edges.  The
+    oracle replays extraction, the zip pairing, the resolution rule
+    AND the full canonicalize+SURT chain (shared _canon_duck /
+    _surt_duck sources), so this gates the whole path from raw markup
+    to graph edge.
+
+    Plant: 1 + pmod(doc_id,3) anchors per doc — an absolute link in
+    noisy form (case/www/:443/fragment/param-order, collapsing under
+    SURT), a root-relative link, and on doc_id%3==2 a third
+    non-fetchable href (#fragment or mailto:, alternating) that must
+    NOT become an edge."""
+    from google_vision_ocr_spark.operators.linkgraph import extract_link_graph
+
+    link = (
+        "CASE l "
+        "WHEN 0 THEN '<a href=\"HTTPS://WWW.Dst' || pmod(doc_id, 10) "
+        "  || '.Example.ORG:443/page/' || pmod(doc_id, 50) "
+        "  || '?b=2&a=1#f\">zz abs link</a>' "
+        "WHEN 1 THEN '<a href=\"/local/' || pmod(doc_id, 30) "
+        "  || '?z=1\">rel link</a>' "
+        "ELSE (CASE pmod(doc_id, 2) "
+        "  WHEN 0 THEN '<a href=\"#top\">frag skip</a>' "
+        "  ELSE '<a href=\"mailto:x@y.z\">mail skip</a>' END) END"
+    )
+    planted = _t(spark, sf_dir, "documents").select(
+        F.expr("source || '.example.org'").alias("src_host"),
+        F.expr("'https://' || source || '.example.org'").alias("base_url"),
+        F.expr(
+            f"'<p>' || array_join(transform(sequence(0, pmod(doc_id, 3)), "
+            f"l -> {link}), ' ') || '</p>'"
+        ).alias("html"),
+    )
+    return extract_link_graph(planted)
 
 
 def _surt_url_dedup(spark, sf_dir):
@@ -3476,7 +3562,7 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-17: new operators this round (no evidence yet)
+    # slots 10-18: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
@@ -3485,6 +3571,7 @@ _DRIVER_WINDOW = [
     "boilerpipe_extraction",
     "ccnet_perplexity_buckets",
     "surt_url_dedup",
+    "link_graph_extraction",
     # slots 16-19: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3520,11 +3607,11 @@ _DRIVER_WINDOW = [
     "pack_shards_manifest",
     "paragraph_dedup",
     "pii_redaction",
-    "quality_scores",
-    # repetition_metrics + t8_id_derivation + text_quality_punct +
-    # text_token_counts + text_tokens_bpe + tpch_q1/q3/q6
-    # (alphabetically last of the r3-age set) rotate into r7 with
-    # url_host_stats — displaced by the eight new-operator slots
+    # quality_scores + repetition_metrics + t8_id_derivation +
+    # text_quality_punct + text_token_counts + text_tokens_bpe +
+    # tpch_q1/q3/q6 (alphabetically last of the r3-age set) rotate
+    # into r7 with url_host_stats — displaced by the nine
+    # new-operator slots
 ]
 
 
@@ -3660,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerpipe_extraction": _boilerpipe_extraction,
         "ccnet_perplexity_buckets": _ccnet_buckets,
         "surt_url_dedup": _surt_url_dedup,
+        "link_graph_extraction": _link_graph_extraction,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -4978,53 +5066,10 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                     ELSE 'https://' || h || '.example.org/Docs/'
                          || pid || '?b=2&gclid=abc&a=1' END AS url
                 FROM v
-            ), c0 AS (
-                SELECT doc_id, url,
-                    lower(regexp_extract(url,
-                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
-                    || lower(regexp_extract(url,
-                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
-                    || regexp_extract(url,
-                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS c
-                FROM raw
             ), c8 AS (
-                SELECT doc_id, url,
-                    regexp_replace(regexp_replace(regexp_replace(
-                    regexp_replace(regexp_replace(regexp_replace(
-                    regexp_replace(regexp_replace(c,
-                        '^(https://[^/?#:]*):443($|[/?#].*)', '\1\2'),
-                        '^(http://[^/?#:]*):80($|[/?#].*)', '\1\2'),
-                        '^(https?://)www\.', '\1'),
-                        '#.*$', ''),
-                        '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-                        '&&+', '&', 'g'),
-                        '\?&', '?'),
-                        '[?&]+$', '') AS c
-                FROM c0
-            ), parts AS (
-                SELECT doc_id, url,
-                    regexp_extract(c,
-                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1) AS host,
-                    regexp_extract(c,
-                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1)
-                        AS port,
-                    regexp_extract(c,
-                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS tail
-                FROM c8
+                SELECT doc_id, url, {canon_url} AS c FROM raw
             ), surted AS (
-                SELECT doc_id, url,
-                    array_to_string(list_reverse(string_split(host, '.')), ',')
-                    || CASE WHEN port <> '' THEN ':' || port ELSE '' END
-                    || ')'
-                    || regexp_replace(tail, '\?.*$', '')
-                    || CASE WHEN array_to_string(list_sort(list_filter(
-                           string_split(regexp_extract(tail, '\?(.*)$', 1),
-                                        '&'), x -> x <> '')), '&') <> ''
-                       THEN '?' || array_to_string(list_sort(list_filter(
-                           string_split(regexp_extract(tail, '\?(.*)$', 1),
-                                        '&'), x -> x <> '')), '&')
-                       ELSE '' END AS surt
-                FROM parts
+                SELECT doc_id, url, {surt_c} AS surt FROM c8
             )
             SELECT surt,
                    CAST(count(*) AS BIGINT) AS n_urls,
@@ -5032,7 +5077,61 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
                    min(doc_id) AS keep_doc_id,
                    min(url) AS first_raw_url
             FROM surted GROUP BY surt
-        """,
+        """.replace("{canon_url}", _canon_duck("url"))
+           .replace("{surt_c}", _surt_duck("c")),
+        # link-graph: extraction + zip pairing + resolution + the same
+        # shared canonicalize/SURT replay, aggregated to edges
+        "link_graph_extraction": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       source || '.example.org' AS src_host,
+                       'https://' || source || '.example.org' AS base_url,
+                       '<p>' || array_to_string(
+                         list_transform(range(0, 1 + doc_id % 3), l ->
+                           CASE l
+                           WHEN 0 THEN '<a href="HTTPS://WWW.Dst'
+                             || (doc_id % 10) || '.Example.ORG:443/page/'
+                             || (doc_id % 50) || '?b=2&a=1#f">zz abs link</a>'
+                           WHEN 1 THEN '<a href="/local/' || (doc_id % 30)
+                             || '?z=1">rel link</a>'
+                           ELSE (CASE doc_id % 2
+                             WHEN 0 THEN '<a href="#top">frag skip</a>'
+                             ELSE '<a href="mailto:x@y.z">mail skip</a>'
+                             END) END), ' ') || '</p>' AS html
+                FROM documents
+            ), pz AS (
+                SELECT src_host, base_url,
+                       unnest(list_zip(
+                           regexp_extract_all(html,
+                               '<a[^>]*href="([^"]*)"[^>]*>.*?</a>', 1),
+                           regexp_extract_all(html,
+                               '<a[^>]*href="[^"]*"[^>]*>(.*?)</a>', 1)
+                       )) AS p
+                FROM d
+            ), e AS (
+                SELECT src_host, base_url, p[1] AS href,
+                       trim(regexp_replace(regexp_replace(p[2],
+                           '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS anchor
+                FROM pz
+                WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+            ), kept AS (
+                SELECT src_host, anchor,
+                       CASE WHEN regexp_matches(href, '(?i)^https?://')
+                            THEN href ELSE base_url || href END AS resolved
+                FROM e
+                WHERE regexp_matches(href, '(?i)^https?://')
+                   OR regexp_matches(href, '^/($|[^/])')
+            ), canon AS (
+                SELECT src_host, anchor, {canon_resolved} AS c FROM kept
+            ), s AS (
+                SELECT src_host, anchor, {surt_c} AS dst_surt FROM canon
+            )
+            SELECT src_host, dst_surt,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   min(anchor) AS first_anchor
+            FROM s GROUP BY src_host, dst_surt
+        """.replace("{canon_resolved}", _canon_duck("resolved"))
+           .replace("{surt_c}", _surt_duck("c")),
         # DSIR: hashed {1,2}-gram bag models (md5-fold buckets replay
         # bit-for-bit), micro-nat log-ratios, away-from-zero integer
         # avg (// and % truncate toward zero in both engines),

@@ -161,3 +161,19 @@ def test_surt_dedup_actually_collapses(con):
     assert not s.str.contains("#").any()
     assert not s.str.contains("utm_|gclid", regex=True).any()
     assert s.str.contains(r"\)").all()
+
+
+def test_link_graph_has_both_edge_kinds_and_no_skips(con):
+    """Absolute AND root-relative edges must both exist, non-fetchable
+    hrefs (#fragment / mailto:) must never become edges, and real
+    aggregation (n_links > 1) must occur — otherwise the resolution
+    rule and the SURT collapse pass vacuously."""
+    df = con.execute(entry_mod.oracle_sql()["link_graph_extraction"]).df()
+    assert df["dst_surt"].str.contains(r"org,example,dst\d").sum() > 0
+    assert df["dst_surt"].str.contains("/local/").sum() > 0
+    assert not df["dst_surt"].str.contains("top|mailto|x@y").any()
+    assert (df["n_links"] > 1).sum() > 0
+    # noisy absolute targets collapsed: every abs SURT is clean
+    ab = df[df["dst_surt"].str.contains("dst")]["dst_surt"]
+    assert ab.str.contains(r"\?a=1&b=2").all()  # params sorted
+    assert not ab.str.contains("www|443|#").any()
