@@ -1166,6 +1166,60 @@ def _justext_extraction(spark, sf_dir):
     return justext_blocks(planted)
 
 
+def _refinedweb_corrections(spark, sf_dir):
+    """RefinedWeb line-wise corrections (Penedo 2023 §G) via
+    operators/refinedweb.py::refinedweb_line_stats — counter /
+    numeric / mostly-uppercase / nav-stub line removal plus the 5 %
+    removed-character document drop, zero shuffle, kept_text
+    hash-compared.
+
+    Plant: 10-word chunk lines on a 16-cycle; shape 1 is a counter
+    line (word rotating likes/comments/shares/views) — except on
+    doc_id%5==0 docs, where it becomes a LONG mostly-uppercase line
+    whose ~8 % removed mass crosses the 5 % budget and drops the
+    document; shape 5 alternates a numeric-only line (even docs) with
+    the exactly-half-uppercase boundary 'AAbb CCdd' (kept); shape 9
+    alternates a 2-word nav stub (doc%3==0) with a 6-word
+    'sign in ...' line that exceeds nav_max_words and must be KEPT.
+    Every rule, both boundaries, and both document verdicts fire
+    non-vacuously (pinned in test_oracle_nonvacuous.py)."""
+    from google_vision_ocr_spark.operators.refinedweb import refinedweb_line_stats
+
+    chunk = "array_join(slice(__w, i*10+1, 10), ' ')"
+    line = (
+        "CASE pmod(doc_id + i, 16) "
+        "WHEN 1 THEN (CASE WHEN doc_id % 5 = 0 "
+        f"THEN upper({chunk}) "
+        "ELSE ((doc_id % 90) + 1) || ' ' || "
+        "  (CASE pmod(doc_id, 4) WHEN 0 THEN 'likes' WHEN 1 THEN 'comments' "
+        "   WHEN 2 THEN 'shares' ELSE 'views' END) END) "
+        "WHEN 5 THEN (CASE WHEN doc_id % 2 = 0 "
+        "THEN ((doc_id * 7 + i) % 997) || ' 12, 34' "
+        "ELSE 'AAbb CCdd' END) "
+        "WHEN 9 THEN (CASE WHEN doc_id % 3 = 0 "
+        "THEN 'home menu' "
+        "ELSE 'sign in now here more words' END) "
+        f"ELSE {chunk} END"
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("__w"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(__w) > 0 THEN "
+                f"array_join(transform(sequence(0, (size(__w)+9) div 10 - 1), "
+                f"i -> {line}), chr(10)) ELSE '' END"
+            ).alias("text"),
+        )
+    )
+    return refinedweb_line_stats(planted).select(
+        "doc_id", "n_lines", "n_kept", "n_counter", "n_numeric",
+        "n_upper", "n_nav", "total_chars", "removed_chars", "doc_keep",
+        "kept_text",
+    )
+
+
 def _link_graph_extraction(spark, sf_dir):
     """Hyperlink edge extraction (operators/linkgraph.py) — hrefs +
     anchor text out of planted markup, root-relative resolution
@@ -3562,7 +3616,7 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-18: new operators this round (no evidence yet)
+    # slots 10-19: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
@@ -3572,6 +3626,7 @@ _DRIVER_WINDOW = [
     "ccnet_perplexity_buckets",
     "surt_url_dedup",
     "link_graph_extraction",
+    "refinedweb_corrections",
     # slots 16-19: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3606,12 +3661,11 @@ _DRIVER_WINDOW = [
     "lm_unigram_scores",
     "pack_shards_manifest",
     "paragraph_dedup",
-    "pii_redaction",
-    # quality_scores + repetition_metrics + t8_id_derivation +
-    # text_quality_punct + text_token_counts + text_tokens_bpe +
-    # tpch_q1/q3/q6 (alphabetically last of the r3-age set) rotate
-    # into r7 with url_host_stats — displaced by the nine
-    # new-operator slots
+    # pii_redaction + quality_scores + repetition_metrics +
+    # t8_id_derivation + text_quality_punct + text_token_counts +
+    # text_tokens_bpe + tpch_q1/q3/q6 (alphabetically last of the
+    # r3-age set) rotate into r7 with url_host_stats — displaced by
+    # the ten new-operator slots
 ]
 
 
@@ -3748,6 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": _ccnet_buckets,
         "surt_url_dedup": _surt_url_dedup,
         "link_graph_extraction": _link_graph_extraction,
+        "refinedweb_corrections": _refinedweb_corrections,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -5079,6 +5134,81 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             FROM surted GROUP BY surt
         """.replace("{canon_url}", _canon_duck("url"))
            .replace("{surt_c}", _surt_duck("c")),
+        # RefinedWeb line corrections: plant + first-matching rules +
+        # removal budget replayed; DuckDB lists are 1-based (cc[i],
+        # lf[i] over range(1, n+1)) vs Spark's 0-based transforms
+        "refinedweb_corrections": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ww
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                    CASE WHEN len(ww) > 0 THEN
+                      list_transform(range(0, (len(ww)+9)//10), i ->
+                        CASE (doc_id + i) % 16
+                        WHEN 1 THEN (CASE WHEN doc_id % 5 = 0
+                          THEN upper(array_to_string(
+                              list_slice(ww, i*10+1, i*10+10), ' '))
+                          ELSE ((doc_id % 90) + 1) || ' ' ||
+                            (CASE doc_id % 4 WHEN 0 THEN 'likes'
+                             WHEN 1 THEN 'comments' WHEN 2 THEN 'shares'
+                             ELSE 'views' END) END)
+                        WHEN 5 THEN (CASE WHEN doc_id % 2 = 0
+                          THEN ((doc_id * 7 + i) % 997) || ' 12, 34'
+                          ELSE 'AAbb CCdd' END)
+                        WHEN 9 THEN (CASE WHEN doc_id % 3 = 0
+                          THEN 'home menu'
+                          ELSE 'sign in now here more words' END)
+                        ELSE array_to_string(
+                            list_slice(ww, i*10+1, i*10+10), ' ') END)
+                    ELSE []::VARCHAR[] END AS ls
+                FROM w
+            ), c AS (
+                SELECT doc_id,
+                    list_filter(ls, x -> x <> '') AS lf,
+                    list_transform(list_filter(ls, x -> x <> ''), x ->
+                        CASE WHEN regexp_matches(x,
+                            '^[0-9]+ (likes|comments|shares|views)$') THEN 1
+                        WHEN regexp_matches(x, '^[0-9][0-9 .,%:/-]*$') THEN 2
+                        WHEN 2 * len(regexp_replace(x, '[^A-Z]', '', 'g'))
+                           > len(regexp_replace(x, '[^A-Za-z]', '', 'g'))
+                           THEN 3
+                        WHEN len(list_filter(string_split(x, ' '),
+                                             y -> y <> '')) <= 4
+                           AND (x LIKE '%home%' OR x LIKE '%menu%'
+                                OR x LIKE '%sign in%' OR x LIKE '%log in%')
+                           THEN 4
+                        ELSE 0 END) AS cc
+                FROM t
+            ), g AS (
+                SELECT doc_id, lf, cc, len(lf) AS n,
+                    CAST(coalesce(list_sum(list_transform(lf,
+                        x -> len(x))), 0) AS BIGINT) AS total_chars,
+                    CAST(coalesce(list_sum(list_transform(range(1, len(lf)+1),
+                        i -> CASE WHEN cc[i] <> 0 THEN len(lf[i])
+                             ELSE 0 END)), 0) AS BIGINT) AS removed_chars
+                FROM c
+            )
+            SELECT doc_id,
+                CAST(n AS BIGINT) AS n_lines,
+                CAST(len(list_filter(cc, v -> v = 0)) AS BIGINT) AS n_kept,
+                CAST(len(list_filter(cc, v -> v = 1)) AS BIGINT) AS n_counter,
+                CAST(len(list_filter(cc, v -> v = 2)) AS BIGINT) AS n_numeric,
+                CAST(len(list_filter(cc, v -> v = 3)) AS BIGINT) AS n_upper,
+                CAST(len(list_filter(cc, v -> v = 4)) AS BIGINT) AS n_nav,
+                total_chars, removed_chars,
+                CAST(CASE WHEN 100 * removed_chars <= 5 * total_chars
+                     THEN 1 ELSE 0 END AS INTEGER) AS doc_keep,
+                CASE WHEN 100 * removed_chars <= 5 * total_chars
+                     THEN coalesce(array_to_string(list_filter(
+                         list_transform(range(1, n + 1),
+                             i -> CASE WHEN cc[i] = 0 THEN lf[i]
+                                  ELSE '' END),
+                         x -> x <> ''), chr(10)), '')
+                     ELSE '' END AS kept_text
+            FROM g
+        """,
         # link-graph: extraction + zip pairing + resolution + the same
         # shared canonicalize/SURT replay, aggregated to edges
         "link_graph_extraction": r"""

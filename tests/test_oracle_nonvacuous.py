@@ -177,3 +177,25 @@ def test_link_graph_has_both_edge_kinds_and_no_skips(con):
     ab = df[df["dst_surt"].str.contains("dst")]["dst_surt"]
     assert ab.str.contains(r"\?a=1&b=2").all()  # params sorted
     assert not ab.str.contains("www|443|#").any()
+
+
+def test_refinedweb_every_rule_and_both_verdicts_fire(con):
+    """All four removal rules, both document verdicts, kept-docs-with-
+    removals (the budget is a real threshold, not all-or-nothing), and
+    both rule boundaries (half-uppercase kept, 6-word sign-in kept)
+    must be present in the planted corpus."""
+    df = con.execute(entry_mod.oracle_sql()["refinedweb_corrections"]).df()
+    for c in ("n_counter", "n_numeric", "n_upper", "n_nav"):
+        assert (df[c] > 0).sum() > 0, c
+    assert (df["doc_keep"] == 0).sum() > 0
+    kept = df[df["doc_keep"] == 1]
+    assert len(kept) > 0
+    assert ((kept["removed_chars"] > 0)).sum() > 0
+    # boundaries survive in kept text
+    assert kept["kept_text"].str.contains("AAbb CCdd").any()
+    assert kept["kept_text"].str.contains("sign in now here more words").any()
+    # removed classes never appear in kept text
+    assert not kept["kept_text"].str.contains(r"\d+ likes", regex=True).any()
+    assert not kept["kept_text"].str.contains("home menu").any()
+    # dropped docs always emit '' text
+    assert (df.loc[df["doc_keep"] == 0, "kept_text"] == "").all()
