@@ -1166,6 +1166,46 @@ def _justext_extraction(spark, sf_dir):
     return justext_blocks(planted)
 
 
+def _page_directives(spark, sf_dir):
+    """Robots-meta flags + canonical-link SURT
+    (operators/directives.py::page_directives).  Plant: doc_id%4==0
+    pages carry a robots meta whose content rotates noindex /
+    nofollow / 'noindex, nofollow' (by doc_id%3); doc_id%4==1 pages
+    carry the DECOY content 'noindexfoo' which must NOT set either
+    flag (token match, not substring); doc_id%3==0 pages declare a
+    noisy absolute canonical (case/www/:443/params — must collapse
+    under SURT); doc_id%3==1 pages declare a RELATIVE canonical that
+    must be ignored; the rest declare none."""
+    from google_vision_ocr_spark.operators.directives import page_directives
+
+    robots = (
+        "CASE WHEN doc_id % 4 = 0 THEN "
+        "'<meta name=\"robots\" content=\"' || "
+        "(CASE doc_id % 3 WHEN 0 THEN 'noindex' WHEN 1 THEN 'nofollow' "
+        "ELSE 'noindex, nofollow' END) || '\">' "
+        "WHEN doc_id % 4 = 1 THEN "
+        "'<meta name=\"robots\" content=\"noindexfoo\">' "
+        "ELSE '' END"
+    )
+    canon = (
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'<link rel=\"canonical\" href=\"HTTPS://WWW.' || source "
+        "  || '.Example.ORG:443/Canon/' || (doc_id % 40) "
+        "  || '?b=2&a=1\">' "
+        "WHEN doc_id % 3 = 1 THEN "
+        "'<link rel=\"canonical\" href=\"/self\">' "
+        "ELSE '' END"
+    )
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"'<html><head>' || {robots} || {canon} "
+            "|| '</head><body><p>x</p></body></html>'"
+        ).alias("html"),
+    )
+    return page_directives(planted)
+
+
 def _refinedweb_corrections(spark, sf_dir):
     """RefinedWeb line-wise corrections (Penedo 2023 §G) via
     operators/refinedweb.py::refinedweb_line_stats — counter /
@@ -3616,7 +3656,7 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-19: new operators this round (no evidence yet)
+    # slots 10-20: new operators this round (no evidence yet)
     "gopher_ngram_metrics",
     "semdedup_keep",
     "c4_line_filter",
@@ -3627,6 +3667,7 @@ _DRIVER_WINDOW = [
     "surt_url_dedup",
     "link_graph_extraction",
     "refinedweb_corrections",
+    "page_directives",
     # slots 16-19: first-ever hash evidence (r6 replayable oracles)
     "ann_lsh_cosine",
     "dedup_minhash_lsh",
@@ -3660,12 +3701,11 @@ _DRIVER_WINDOW = [
     "lang_id_heuristic",
     "lm_unigram_scores",
     "pack_shards_manifest",
-    "paragraph_dedup",
-    # pii_redaction + quality_scores + repetition_metrics +
-    # t8_id_derivation + text_quality_punct + text_token_counts +
-    # text_tokens_bpe + tpch_q1/q3/q6 (alphabetically last of the
-    # r3-age set) rotate into r7 with url_host_stats — displaced by
-    # the ten new-operator slots
+    # paragraph_dedup + pii_redaction + quality_scores +
+    # repetition_metrics + t8_id_derivation + text_quality_punct +
+    # text_token_counts + text_tokens_bpe + tpch_q1/q3/q6
+    # (alphabetically last of the r3-age set) rotate into r7 with
+    # url_host_stats — displaced by the eleven new-operator slots
 ]
 
 
@@ -3803,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_url_dedup": _surt_url_dedup,
         "link_graph_extraction": _link_graph_extraction,
         "refinedweb_corrections": _refinedweb_corrections,
+        "page_directives": _page_directives,
         "pii_redaction": _pii_redaction,
         "decontamination": _decontamination,
         "embedding_near_dups": _embedding_near_dups,
@@ -5134,6 +5175,45 @@ def _oracle_sql_entries(frame: str) -> dict[str, str]:
             FROM surted GROUP BY surt
         """.replace("{canon_url}", _canon_duck("url"))
            .replace("{surt_c}", _surt_duck("c")),
+        # robots flags are TOKEN matches over the split content list;
+        # relative canonicals ignored; SURT via the shared helpers
+        "page_directives": """
+            WITH d AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 4 = 0 THEN
+                        (CASE doc_id % 3 WHEN 0 THEN 'noindex'
+                         WHEN 1 THEN 'nofollow'
+                         ELSE 'noindex, nofollow' END)
+                    WHEN doc_id % 4 = 1 THEN 'noindexfoo'
+                    ELSE '' END AS robots,
+                    CASE WHEN doc_id % 3 = 0 THEN
+                        'HTTPS://WWW.' || source || '.Example.ORG:443/Canon/'
+                        || (doc_id % 40) || '?b=2&a=1'
+                    WHEN doc_id % 3 = 1 THEN '/self'
+                    ELSE '' END AS href
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                    list_filter(string_split_regex(lower(robots), '[ ,]+'),
+                                x -> x <> '') AS toks,
+                    href
+                FROM d
+            ), c AS (
+                SELECT doc_id,
+                    CAST(list_contains(toks, 'noindex') AS INTEGER)
+                        AS noindex,
+                    CAST(list_contains(toks, 'nofollow') AS INTEGER)
+                        AS nofollow,
+                    CASE WHEN regexp_matches(href, '(?i)^https?://')
+                         THEN {canon_href} ELSE '' END AS cu
+                FROM f
+            )
+            SELECT doc_id, noindex, nofollow,
+                   CASE WHEN cu <> '' THEN {surt_cu} ELSE '' END
+                       AS canonical_surt
+            FROM c
+        """.replace("{canon_href}", _canon_duck("href"))
+           .replace("{surt_cu}", _surt_duck("cu")),
         # RefinedWeb line corrections: plant + first-matching rules +
         # removal budget replayed; DuckDB lists are 1-based (cc[i],
         # lf[i] over range(1, n+1)) vs Spark's 0-based transforms

@@ -199,3 +199,22 @@ def test_refinedweb_every_rule_and_both_verdicts_fire(con):
     assert not kept["kept_text"].str.contains("home menu").any()
     # dropped docs always emit '' text
     assert (df.loc[df["doc_keep"] == 0, "kept_text"] == "").all()
+
+
+def test_page_directives_flags_and_canonicals_fire(con):
+    """noindex-only, nofollow-only, both-flags, the decoy (token
+    mismatch), absolute canonicals (SURT-collapsed) and rejected
+    relative canonicals must all be present."""
+    df = con.execute(entry_mod.oracle_sql()["page_directives"]).df()
+    assert ((df["noindex"] == 1) & (df["nofollow"] == 0)).sum() > 0
+    assert ((df["noindex"] == 0) & (df["nofollow"] == 1)).sum() > 0
+    assert ((df["noindex"] == 1) & (df["nofollow"] == 1)).sum() > 0
+    decoy = df[df["doc_id"] % 4 == 1]
+    assert len(decoy) > 0
+    assert (decoy[["noindex", "nofollow"]].to_numpy() == 0).all()
+    canon = df[df["canonical_surt"] != ""]
+    assert len(canon) > 0
+    assert canon["canonical_surt"].str.startswith("org,example,").all()
+    assert not canon["canonical_surt"].str.contains("www|443|WWW").any()
+    rel = df[(df["doc_id"] % 3 == 1)]
+    assert (rel["canonical_surt"] == "").all()  # relative ignored
