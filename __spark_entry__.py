@@ -385,7 +385,11 @@ def _t8_id_derivation(spark, sf_dir):
 
 
 def _text_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # single-row-group scan: fan out so the regex tokenizer runs on all
+    # cores instead of one (projection only — row placement is free)
+    from google_vision_ocr_spark.fanout import fanout
+
+    d = fanout(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")).cast("bigint").alias("ws_tokens"),
@@ -430,7 +434,13 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _events_hourly(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    # events is a single parquet row group (unsplittable 1-task scan):
+    # fan out before the partial agg so the date_trunc + hash-agg pass
+    # uses the cluster (no-op once the input carries real partitioning;
+    # value is 2-decimal so sums are double-exact — order-independent)
+    from google_vision_ocr_spark.fanout import fanout
+
+    e = fanout(_t(spark, sf_dir, "events"))
     return e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
         F.col("event_type"),
@@ -441,9 +451,16 @@ def _events_hourly(spark, sf_dir):
 
 
 def _ann_bruteforce(spark, sf_dir):
+    from google_vision_ocr_spark.fanout import fanout
     from google_vision_ocr_spark.operators.similarity import cosine_topk
 
-    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    # fan out the single-row-group embeddings scan before the per-row
+    # HOF cosine folds (r7: the whole scoring pass ran on one core);
+    # repartitioning only REORDERS rows — the top-k is a total order
+    # on (cos_sim desc, vec_id), so the result set is unchanged
+    return cosine_topk(
+        fanout(_t(spark, sf_dir, "embeddings"), "vec_id"), query_id=0, k=10
+    )
 
 
 def _ann_lsh(spark, sf_dir):

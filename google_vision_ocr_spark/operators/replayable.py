@@ -115,7 +115,14 @@ def shingle_hashes_sql(text_col: str, k: int = 3) -> str:
     over it — an expression inlined into the per-permutation lambda is
     re-evaluated once per permutation (64× the md5 work; measured 45 s
     → ~2 s at 500 docs)."""
-    toks = tokens_sql(text_col)
+    return shingle_hashes_from_tokens_sql(tokens_sql(text_col), k)
+
+
+def shingle_hashes_from_tokens_sql(toks: str, k: int = 3) -> str:
+    """Spark: shingle hashes from a token-ARRAY expression (pass a
+    column reference so the tokenizer runs once — r7: inlining
+    ``tokens_sql`` textually put 4 regex ``split`` calls in one
+    projection, one per reference)."""
     sh = (
         f"CASE WHEN size({toks}) >= {k}"
         f" THEN transform(sequence(1, size({toks}) - {k - 1}),"
@@ -182,11 +189,26 @@ def minhash_signatures_replayable(
     round-trip).  Docs with fewer than ``k`` tokens get the all-``M``
     sentinel signature (callers filter them via ``__ntok`` — a
     sentinel-sentinel join would fabricate est_jaccard = 1 pairs out
-    of empty documents)."""
-    hashed = df.select(
+    of empty documents).
+
+    r7 shape: the input fans out to cluster parallelism first (the
+    bench's single-row-group scan otherwise runs the whole md5+fold
+    pass on one core), and tokenization materializes as its own
+    projection so the regex ``split`` runs ONCE per row — the previous
+    single-expression form textually inlined the token array and paid
+    4 splits per row (CollapseProject keeps the boundary here because
+    ``__toks`` is referenced 4×, the same multi-reference guard the
+    simhash code documents)."""
+    from ..fanout import fanout
+
+    toks = fanout(df, id_col).select(
         F.col(id_col),
-        F.expr(shingle_hashes_sql(text_col, k)).alias("__hs"),
-        F.expr(f"size({tokens_sql(text_col)})").alias("__ntok"),
+        F.expr(tokens_sql(text_col)).alias("__toks"),
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.expr(shingle_hashes_from_tokens_sql("__toks", k)).alias("__hs"),
+        F.expr("size(__toks)").alias("__ntok"),
     )
     return hashed.select(
         F.col(id_col),
@@ -220,9 +242,17 @@ def minhash_lsh_pairs_replayable(
         minhash_signatures_replayable(df, id_col, text_col, n_perm, k)
     )
     sigs = sigs.filter(F.col("__ntok") >= k).drop("__ntok")
+    # r7 join diet (guide §2.3 "shuffle keys and metadata instead of
+    # payloads"): the banded self-join used to carry BOTH 64-element
+    # signature arrays through both exchanges (~550 B/row on 16 rows
+    # per doc per side) only so est_jaccard could be computed inline.
+    # Ids alone ride the banded exchanges now; the (tiny, deduped)
+    # pair set re-attaches the signatures from the materialized
+    # signature table afterwards — identical pair set (same equality
+    # on the same collision-free band keys), identical est_jaccard
+    # (same zip_with over the same signatures).
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), band ->"
@@ -232,17 +262,19 @@ def minhash_lsh_pairs_replayable(
             )
         ).alias("band", "band_key"),
     )
-    left = banded.select(
-        "band", "band_key",
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"),
-    )
-    right = banded.select(
-        "band", "band_key",
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"),
-    )
-    return (
+    left = banded.select("band", "band_key", F.col(id_col).alias("id_a"))
+    right = banded.select("band", "band_key", F.col(id_col).alias("id_b"))
+    pairs = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a", "id_b",
             (
@@ -255,7 +287,6 @@ def minhash_lsh_pairs_replayable(
                 / F.lit(float(n_perm))
             ).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

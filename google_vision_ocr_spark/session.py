@@ -32,7 +32,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan split size (guide §6): the bench inputs are single files
+        # of 3-132 MB, so the 128 MB default hands a whole table to one
+        # task and leaves a 32-core box idle through every scan-fused
+        # stage (r7: tpch_q1's 132 MB lineitem scanned with 2 tasks).
+        # 16 MB locally splits them to row-group granularity; on a real
+        # cluster with TB-scale inputs set SPARK_GRAFT_MAX_PARTITION_BYTES
+        # to 512 MB - 1 GB (large sequential scans want FEWER, larger
+        # splits — guide §2.2/§6); the knob stays parameterised so the
+        # local default never leaks into a production deployment.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
