@@ -434,13 +434,13 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _events_hourly(spark, sf_dir):
-    # events is a single parquet row group (unsplittable 1-task scan):
-    # fan out before the partial agg so the date_trunc + hash-agg pass
-    # uses the cluster (no-op once the input carries real partitioning;
-    # value is 2-decimal so sums are double-exact — order-independent)
-    from google_vision_ocr_spark.fanout import fanout
-
-    e = fanout(_t(spark, sf_dir, "events"))
+    # NO fan-out here, deliberately (r7): the partial agg collapses 1M
+    # rows to ~3.4k groups map-side, so the 1-task scan shuffles only
+    # KBs.  Repartitioning first shuffles every raw row before any
+    # reduction — the guide-§2.3 "aggregate before you shuffle"
+    # anti-pattern; measured 0.34 s (map-side agg) vs 0.89 s (keyed
+    # fan-out) vs 1.48 s (keyless fan-out) at sf1.0.
+    e = _t(spark, sf_dir, "events")
     return e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
         F.col("event_type"),

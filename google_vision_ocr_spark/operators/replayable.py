@@ -227,47 +227,61 @@ def minhash_lsh_pairs_replayable(
     signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs ``(id_a, id_b, est_jaccard)`` with
-    fully replayable randomness.  Band keys are the RAW component
-    strings (collision-free, so the output set is EXACTLY the
-    declarative spec "∃ band with equal components" — the oracle
-    states that spec over a cross join; at 100 TB you'd md5 the key
-    to fix its width, which only re-buckets, never changes the pair
-    set beyond md5 collisions).  Shape: bucketed equality self-join,
-    never all-pairs — same as the seeded twin.  Pass ``signatures``
-    (a materialized :func:`minhash_signatures_replayable` table,
-    ``__ntok`` included) at scale so the self-join reads the cache
-    instead of hashing every shingle once per side."""
+    fully replayable randomness.  Band keys are the RAW signature
+    slices (``array<bigint>`` — collision-free, so the output set is
+    EXACTLY the declarative spec "∃ band with equal components" the
+    oracle states over a cross join; at 100 TB you'd md5 the key to
+    fix its width, which only re-buckets, never changes the pair set
+    beyond md5 collisions).  Pass ``signatures`` (a materialized
+    :func:`minhash_signatures_replayable` table, ``__ntok`` included)
+    at scale so banding reads the cache instead of re-hashing every
+    shingle.
+
+    r7 shape (guide §2.3/§2.4 — shuffle keys, not payloads; fewer
+    exchanges): the r6 banded self-join shuffled BOTH 64-element
+    signature arrays 16×/doc through two exchanges.  Now the bucket
+    membership is ONE skinny exchange — ``groupBy(band, band_key)``
+    over ``(id, band, band_key)`` rows — pairs expand inside each
+    bucket from the sorted id list (x before y in a sorted distinct
+    list ⟺ x < y, exactly the old ``id_a < id_b`` join filter; the
+    explicit null guard reproduces the old filter's null-dropping),
+    and the (tiny, deduped) pair set re-attaches signatures from the
+    materialized table.  Identical pair set and est_jaccard — r7
+    verified ``exceptAll`` empty both ways vs the r6 shape at sf1.0
+    and by the DuckDB hash gate at sf0.001/0.01/0.1."""
     rpb = n_perm // bands
     sigs = signatures if signatures is not None else (
         minhash_signatures_replayable(df, id_col, text_col, n_perm, k)
     )
     sigs = sigs.filter(F.col("__ntok") >= k).drop("__ntok")
-    # r7 join diet (guide §2.3 "shuffle keys and metadata instead of
-    # payloads"): the banded self-join used to carry BOTH 64-element
-    # signature arrays through both exchanges (~550 B/row on 16 rows
-    # per doc per side) only so est_jaccard could be computed inline.
-    # Ids alone ride the banded exchanges now; the (tiny, deduped)
-    # pair set re-attaches the signatures from the materialized
-    # signature table afterwards — identical pair set (same equality
-    # on the same collision-free band keys), identical est_jaccard
-    # (same zip_with over the same signatures).
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), band ->"
-                f" concat_ws(',', transform(slice(minhash,"
-                f" band * {rpb} + 1, {rpb}),"
-                " v -> CAST(v AS STRING))))"
+                f" slice(minhash, band * {rpb} + 1, {rpb}))"
             )
         ).alias("band", "band_key"),
     )
-    left = banded.select("band", "band_key", F.col(id_col).alias("id_a"))
-    right = banded.select("band", "band_key", F.col(id_col).alias("id_b"))
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
     pairs = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) ->"
+                    " transform(slice(__ids, i + 2, size(__ids) - i - 1),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
+        # sort_array puts nulls first: a null id can only be id_a, and
+        # the old `id_a < id_b` predicate dropped every null pair
+        .filter(F.col("id_a").isNotNull())
         .dropDuplicates(["id_a", "id_b"])
     )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
