@@ -115,12 +115,14 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic multi-page payloads → full extraction
     pipeline (rasterize → grayscale → PNG → recognize → ordered framed
     concat).  SURVEY.md §3.2 shape; oracle-checkable end-to-end."""
-    from google_vision_ocr_spark.plans.fused import extract_fused
-    from google_vision_ocr_spark.sources.documents import documents_to_pages
+    from google_vision_ocr_spark.plans.fused import extract_documents_fused
 
-    pages = documents_to_pages(_t(spark, sf_dir, "documents"))
-    # document-unit parallelism; no payload pre-shuffle (pages/doc <= 8)
-    out = extract_fused(pages)
+    # r7: payload synthesis fused into the recognition stage — one
+    # Python boundary instead of two (ArrowEvalPython + MapInArrow),
+    # same per-row logic via the shared process_row body; identical
+    # output (exceptAll-verified vs the staged documents_to_pages →
+    # extract_fused path, which remains the default elsewhere)
+    out = extract_documents_fused(_t(spark, sf_dir, "documents"))
     return out.select("url", "text", F.col("n_pages").cast("int").alias("n_pages"))
 
 
@@ -672,10 +674,25 @@ def _tpch_q1(spark, sf_dir):
     would overflow the 2^53-exact double window used in the final
     division."""
     li = _t(spark, sf_dir, "lineitem")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
-    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
-    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+
+    # cents recovery via floor(x*100 + 0.5) instead of round(x*100):
+    # Spark's round() on DOUBLE allocates a BigDecimal per value (24M
+    # allocations/run here — measured 0.64 s vs 0.37 s for the whole
+    # query at sf1.0).  For this data class the two are IDENTICAL: the
+    # inputs are nonnegative 2-decimal money values, so x*100 lands
+    # within ~1e-6 of an integer k — floor(k±1e-6 + 0.5) = k and
+    # BigDecimal-HALF_UP of the same double = k; the forms can only
+    # diverge when x*100 sits within one ulp of k+0.5, impossible for
+    # near-integer x.  Verified 0 mismatches on every lineitem money
+    # column at sf0.001/0.01/0.1/1.0 (r7), and the DuckDB oracle
+    # (frozen, round-based) stays hash-green at the gate SFs.
+    def cents(c: str):
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")
+
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    qty_c = cents("l_quantity")
     cnt = F.count(F.lit(1))
 
     def to_cents(unit_sum, half, unit):

@@ -230,6 +230,107 @@ def assemble_docs(recognized: DataFrame) -> DataFrame:
     )
 
 
+def _make_row_processor(
+    recognizer: str,
+    rate_limit_qps: float | None,
+    max_retries: int,
+    backoff_base_s: float,
+    otsu: bool,
+    do_deskew: bool,
+    dpi: bool,
+):
+    """Per-task state + the per-row classify/rasterize/preprocess/
+    recognize body, shared by :func:`process_items` and
+    :func:`extract_documents_fused` so both stages run byte-identical
+    logic.  Returns ``(process_row, buf, flush)``; ``process_row``
+    appends recognized page rows to ``buf``."""
+    import time as _time
+
+    engine = get_recognizer(recognizer)
+    bucket = TokenBucket(rate_limit_qps) if rate_limit_qps else None
+
+    def recognize_bytes(payload: bytes, item_id) -> tuple[str, bool]:
+        attempt = 0
+        while True:
+            if bucket is not None:
+                bucket.acquire()
+            try:
+                return engine.recognize(payload), False
+            except RecognitionError as exc:
+                return f"OCR Error for ID {item_id}: {exc}", True
+            except Exception as exc:
+                attempt += 1
+                if attempt > max_retries:
+                    return f"OCR Error for ID {item_id}: {exc}", True
+                _time.sleep(backoff_base_s * (2 ** (attempt - 1)))
+
+    def recognize_pdf_page(page_text: str, page_no: int) -> tuple[str, bool]:
+        gray = formats.rgb_to_gray(formats.render_page_rgb(page_text))
+        if dpi:
+            gray = dpi_normalize(gray)
+        if do_deskew:
+            gray = _deskew(gray)
+        if otsu:
+            gray = otsu_binarize(gray)
+        return recognize_bytes(formats.encode_png(gray), page_no)
+
+    buf: dict[str, list] = {"url": [], "page": [], "kind": [], "text": [], "ocr_error": []}
+
+    def push(url, page, kind, text, err):
+        buf["url"].append(url)
+        buf["page"].append(page)
+        buf["kind"].append(kind)
+        buf["text"].append(text)
+        buf["ocr_error"].append(err)
+
+    def flush():
+        out = pa.RecordBatch.from_pydict(buf, schema=_RECOGNIZED_SCHEMA_PA)
+        for k in buf:
+            buf[k] = []
+        return out
+
+    def process_row(url, payload, text):
+        """Classify one input row by magic bytes and emit its page rows.
+        Generator: yields flushed record batches mid-document so a
+        many-thousand-page document never grows the buffer unbounded
+        (same ``_CHUNK_ROWS`` bound as the pre-r7 inline loop)."""
+        fmt = formats.sniff_format(payload)
+        if fmt == "SPDF":
+            try:
+                page_texts = formats.decode_spdf(payload)
+            except Exception:
+                push(url, 1, "pdf",
+                     "OCR Error for ID 1: corrupt document payload", True)
+                return
+            if not page_texts:
+                # zero-page doc: reference writes an empty .txt
+                push(url, 0, "pdf0", "", False)
+                return
+            for page_no, page_text in enumerate(page_texts, start=1):
+                t, e = recognize_pdf_page(page_text, page_no)
+                push(url, page_no, "pdf", t, e)
+                if len(buf["url"]) >= _CHUNK_ROWS:
+                    yield flush()
+        elif fmt in ("PNG", "JPEG", "BMP", "TIFF", "GIF"):
+            # keep-format rule (ocr_service.py:177): PNG/JPEG/BMP/
+            # TIFF pass through unchanged; GIF re-encodes to PNG
+            if fmt == "GIF":  # T3 normalize, then recognize as-is
+                try:
+                    payload = formats.encode_png(formats.decode_gif_gray(payload))
+                except Exception:
+                    pass
+            t, e = recognize_bytes(payload, url)
+            push(url, 1, "image", t, e)
+        elif fmt == "HTML":
+            push(url, 1, "html", strip_html_bytes(payload), False)
+        elif fmt == "none":
+            push(url, 1, "text", text if text is not None else "", False)
+        else:
+            push(url, 1, "unknown", "", True)
+
+    return process_row, buf, flush
+
+
 def process_items(
     df: DataFrame,
     payload_col: str = "html",
@@ -256,96 +357,79 @@ def process_items(
     (measured: 26.1s vs 7.5s passthrough at 32 cores on a 4.5 GB
     input), so record batches are consumed directly.
     """
-    import time as _time
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        engine = get_recognizer(recognizer)
-        bucket = TokenBucket(rate_limit_qps) if rate_limit_qps else None
-
-        def recognize_bytes(payload: bytes, item_id) -> tuple[str, bool]:
-            attempt = 0
-            while True:
-                if bucket is not None:
-                    bucket.acquire()
-                try:
-                    return engine.recognize(payload), False
-                except RecognitionError as exc:
-                    return f"OCR Error for ID {item_id}: {exc}", True
-                except Exception as exc:
-                    attempt += 1
-                    if attempt > max_retries:
-                        return f"OCR Error for ID {item_id}: {exc}", True
-                    _time.sleep(backoff_base_s * (2 ** (attempt - 1)))
-
-        def recognize_pdf_page(page_text: str, page_no: int) -> tuple[str, bool]:
-            gray = formats.rgb_to_gray(formats.render_page_rgb(page_text))
-            if dpi:
-                gray = dpi_normalize(gray)
-            if do_deskew:
-                gray = _deskew(gray)
-            if otsu:
-                gray = otsu_binarize(gray)
-            return recognize_bytes(formats.encode_png(gray), page_no)
-
-        buf: dict[str, list] = {"url": [], "page": [], "kind": [], "text": [], "ocr_error": []}
-
-        def push(url, page, kind, text, err):
-            buf["url"].append(url)
-            buf["page"].append(page)
-            buf["kind"].append(kind)
-            buf["text"].append(text)
-            buf["ocr_error"].append(err)
-
-        def flush():
-            out = pa.RecordBatch.from_pydict(buf, schema=_RECOGNIZED_SCHEMA_PA)
-            for k in buf:
-                buf[k] = []
-            return out
-
+        process_row, buf, flush = _make_row_processor(
+            recognizer, rate_limit_qps, max_retries, backoff_base_s,
+            otsu, do_deskew, dpi,
+        )
         for rb in batches:
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             for url, payload, text in zip(
                 cols["url"].to_pylist(), cols[payload_col].to_pylist(), cols["text"].to_pylist()
             ):
-                fmt = formats.sniff_format(payload)
-                if fmt == "SPDF":
-                    try:
-                        page_texts = formats.decode_spdf(payload)
-                    except Exception:
-                        push(url, 1, "pdf",
-                             "OCR Error for ID 1: corrupt document payload", True)
-                        continue
-                    if not page_texts:
-                        # zero-page doc: reference writes an empty .txt
-                        push(url, 0, "pdf0", "", False)
-                        continue
-                    for page_no, page_text in enumerate(page_texts, start=1):
-                        t, e = recognize_pdf_page(page_text, page_no)
-                        push(url, page_no, "pdf", t, e)
-                        if len(buf["url"]) >= _CHUNK_ROWS:
-                            yield flush()
-                elif fmt in ("PNG", "JPEG", "BMP", "TIFF", "GIF"):
-                    # keep-format rule (ocr_service.py:177): PNG/JPEG/BMP/
-                    # TIFF pass through unchanged; GIF re-encodes to PNG
-                    if fmt == "GIF":  # T3 normalize, then recognize as-is
-                        try:
-                            payload = formats.encode_png(formats.decode_gif_gray(payload))
-                        except Exception:
-                            pass
-                    t, e = recognize_bytes(payload, url)
-                    push(url, 1, "image", t, e)
-                elif fmt == "HTML":
-                    push(url, 1, "html", strip_html_bytes(payload), False)
-                elif fmt == "none":
-                    push(url, 1, "text", text if text is not None else "", False)
-                else:
-                    push(url, 1, "unknown", "", True)
+                yield from process_row(url, payload, text)
                 if len(buf["url"]) >= _CHUNK_ROWS:
                     yield flush()
         if buf["url"]:
             yield flush()
 
     return df.select("url", payload_col, "text").mapInArrow(run, RECOGNIZED_SCHEMA)
+
+
+def extract_documents_fused(
+    documents: DataFrame,
+    recognizer: str = "stub",
+    rate_limit_qps: float | None = None,
+    max_retries: int = 3,
+    backoff_base_s: float = 0.05,
+    otsu: bool = False,
+    do_deskew: bool = False,
+    dpi: bool = False,
+) -> DataFrame:
+    """The flagship's end-to-end plan with payload synthesis fused into
+    the recognition stage: ``documents`` → one Python stage (per-doc
+    SPDF payload build → classify → rasterize → preprocess → recognize)
+    → ``groupBy(url)`` assembly.
+
+    Logically identical to ``documents_to_pages(df)`` piped through
+    :func:`process_items` — the SPDF payload is still encoded per
+    document and classified by magic bytes through the SAME
+    ``process_row`` body (shared closure factory) — but the payload
+    bytes stay inside one Python worker instead of crossing
+    JVM→Python→JVM→Python across an ArrowEvalPython + MapInArrow pair
+    (guide §4.1: you can't remove the boundary cost, but you control
+    how many times it is paid).  r7: byte-identical output verified by
+    ``exceptAll`` both ways vs the staged path at sf0.1/sf1.0 and by
+    the DuckDB hash gate; the staged path remains the default for
+    every other consumer and for bench stage isolation."""
+    from ..fanout import fanout
+    from ..sources.documents import chunk_text
+
+    src = fanout(documents, "doc_id").select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"),
+                 F.col("doc_id")).alias("url"),
+        F.col("text"),
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        process_row, buf, flush = _make_row_processor(
+            recognizer, rate_limit_qps, max_retries, backoff_base_s,
+            otsu, do_deskew, dpi,
+        )
+        for rb in batches:
+            urls = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            for url, text in zip(urls, texts):
+                payload = formats.encode_spdf(chunk_text(text))
+                yield from process_row(url, payload, None)
+                if len(buf["url"]) >= _CHUNK_ROWS:
+                    yield flush()
+        if buf["url"]:
+            yield flush()
+
+    recognized = src.mapInArrow(run, RECOGNIZED_SCHEMA)
+    return assemble_docs(recognized)
 
 
 def extract_fused(
