@@ -3671,14 +3671,8 @@ def _tier_extraction(spark, sf_dir):
 # determinism) — so any drift is re-caught within ~2 rounds (127
 # oracled − 9 pinned = 118 rotating / 41 slots ≈ 2.9 rounds worst
 # case, less in practice because changed code jumps the queue).
-# Round-6 window: 4 brand-new operators, the 4 newly-oracled
-# replayable-LSH entries (never hash-checked), 4 changed-code entries
-# (w2 granulation widened, quantile_sketch_merge parity fix,
-# events_user_lag signed-halfup rewrite, multiprobe driver-side
-# codes), then 29 of the oldest (last green in the r3 window;
-# text_tokens_bpe + tpch_q1/q3/q6 + url_host_stats rotate in next
-# round).  The dict literal below keeps family grouping for
-# readability; _DRIVER_WINDOW defines the actual order.
+# The dict literal below keeps family grouping for readability;
+# _DRIVER_WINDOW defines the actual order.
 _DRIVER_WINDOW = [
     # slots 1-9: pinned flagship + §2 family representatives
     "extract_documents_flagship",
@@ -3690,56 +3684,58 @@ _DRIVER_WINDOW = [
     "set_union_dedup",
     "t6_templating",
     "events_sessionize",
-    # slots 10-20: new operators this round (no evidence yet)
-    "gopher_ngram_metrics",
-    "semdedup_keep",
-    "c4_line_filter",
-    "dsir_selection",
-    "justext_extraction",
-    "boilerpipe_extraction",
-    "ccnet_perplexity_buckets",
-    "surt_url_dedup",
-    "link_graph_extraction",
-    "refinedweb_corrections",
-    "page_directives",
-    # slots 16-19: first-ever hash evidence (r6 replayable oracles)
-    "ann_lsh_cosine",
+    # r7 window (policy above, executed per VERDICT r6 #2): no
+    # never-checked entries remain, so slots 10-50 are (b) changed-code
+    # this round, then (c) oldest evidence ascending, alphabetical
+    # within a round — the full r3-age set first, then the
+    # alphabetically-first 25 of the r4-age set.
+    # slots 10-13: code changed this round (r7 optimization:
+    # replayable-minhash bucket pair-gen + fan-out, cosine fan-out,
+    # tokenizer fan-out, q1 floor-cents)
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "lsh_bucket_histogram",
-    # slots 20-23: code changed this round
-    "w2_row_number",
-    "quantile_sketch_merge",
-    "events_user_lag",
-    "ann_lsh_pruned_multiprobe",
-    # slots 24-50: oldest evidence (last hash-green in the r3 window)
-    "a2_merged_chapters",
     "ann_bruteforce_cosine",
-    "ann_ivf_cosine",
-    "ann_lsh_planted",
-    "corpus_split",
-    "curate_documents",
-    "decontamination",
-    "dedup_exact",
-    "dedup_minhash_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_containment",
-    "doc_fingerprints",
-    "embedding_near_dups",
-    "embedding_near_dups_exact",
-    "events_hourly",
-    "f7_tagged_projection",
-    "image_metadata",
-    "j1_equi_join",
-    "j3_anti_join",
-    "lang_id_heuristic",
-    "lm_unigram_scores",
-    "pack_shards_manifest",
-    # paragraph_dedup + pii_redaction + quality_scores +
-    # repetition_metrics + t8_id_derivation + text_quality_punct +
-    # text_token_counts + text_tokens_bpe + tpch_q1/q3/q6
-    # (alphabetically last of the r3-age set) rotate into r7 with
-    # url_host_stats — displaced by the eleven new-operator slots
+    "text_token_counts",
+    "tpch_q1_pricing_summary",
+    # slots 14-23: oldest evidence — last hash-green in the r3 window
+    "paragraph_dedup",
+    "pii_redaction",
+    "quality_scores",
+    "repetition_metrics",
+    "t8_id_derivation",
+    "text_quality_punct",
+    "text_tokens_bpe",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_filter",
+    "url_host_stats",
+    # slots 24-50: next-oldest (last hash-green in the r4 window,
+    # alphabetical; the rest of the r4 set + the r5 set rotate in r8)
+    "ann_ivf_pruned_probe",
+    "asof_purchase_view",
+    "bpe_encoded_tokens",
+    "bpe_train_merges",
+    "cms_heavy_hitters",
+    "cms_segment_merge",
+    "decontamination_bloom",
+    "dedup_clusters",
+    "dedup_keep_one",
+    "distinct_words_linear_counting",
+    "events_value_anomalies",
+    "host_pagerank",
+    "host_triangles",
+    "inverted_postings",
+    "postings_segment_merge",
+    "quality_classifier_bigrams",
+    "quality_classifier_scores",
+    "scd2_user_state",
+    "snapshot_diff_cdc",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity",
 ]
 
 
