@@ -606,8 +606,14 @@ def _minhash_pairs(spark, sf_dir):
     from google_vision_ocr_spark import cache
 
     d = _t(spark, sf_dir, "documents")
+    # persist WITHOUT an eager count(): AQE runs the pair pipeline's
+    # stages strictly in dependency order, so the first consumer (the
+    # bucket exchange's map stage) materializes the cache and every
+    # later stage (pair dedup, both signature attaches) reads it warm —
+    # the old count() was a full extra pass over the table per build
+    # (r7: one redundant job per bench iteration; at 100 TB a whole
+    # extra read of the signature table).
     sigs = cache.track(minhash_signatures_replayable(d).persist())
-    sigs.count()
     return minhash_lsh_pairs_replayable(d, signatures=sigs)
 
 

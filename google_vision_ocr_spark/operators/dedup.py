@@ -123,8 +123,16 @@ def minhash_signatures(
     k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
+    """(id, minhash) via the seeded numpy pandas-UDF.  r7: the input
+    fans out to cluster parallelism first — the bench tables are
+    single-row-group parquet, so the whole UDF pass otherwise runs on
+    ONE task (same fix as the replayable twin; a no-op at scale where
+    the scan already has enough splits).  Per-row seeded hashing is
+    partition-invariant, so the signature set is unchanged."""
+    from ..fanout import fanout
+
     udf = make_minhash_udf(n_perm=n_perm, k=k, seed=seed)
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("minhash"))
+    return fanout(df, id_col).select(F.col(id_col), udf(F.col(text_col)).alias("minhash"))
 
 
 def minhash_banded(

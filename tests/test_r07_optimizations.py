@@ -141,6 +141,55 @@ def test_minhash_banded_exchange_is_signature_free(spark):
     assert "sort_array(collect_list" in fmt
 
 
+def test_seeded_minhash_signatures_fanout_and_invariance(spark):
+    """r7 (second pass): the seeded pandas-UDF signature table fans
+    out to cluster parallelism (the bench tables are single-row-group
+    parquet, so the UDF pass otherwise runs one-task) and per-row
+    seeded hashing is partition-invariant — the signature set must not
+    depend on the fan-out."""
+    from google_vision_ocr_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(40)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    out = minhash_signatures(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # same signatures as the pre-fanout (single-partition) evaluation
+    ref = minhash_signatures(df.repartition(3, "doc_id"))
+    a = sorted((r.doc_id, tuple(r.minhash)) for r in out.collect())
+    b = sorted((r.doc_id, tuple(r.minhash)) for r in ref.collect())
+    assert a == b
+
+
+def test_minhash_headline_builder_runs_no_eager_job(spark, tmp_path):
+    """r7 (second pass): building the dedup_minhash_lsh query must not
+    run an eager materialization job — AQE sequences the pair
+    pipeline's stages, so the first consumer (the bucket exchange map
+    stage) fills the signature cache and every later stage reads it
+    warm.  The old eager count() was one redundant full pass per
+    build."""
+    import __spark_entry__ as entry_mod
+    from google_vision_ocr_spark import cache
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    build = entry_mod.queries()["dedup_minhash_lsh"]
+    build(spark, str(tmp_path))  # warm the _t schema memo (one footer job)
+    cache.release_all()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    build(spark, str(tmp_path))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    cache.release_all()
+    # plan probes (rdd.getNumPartitions) may run zero-task bookkeeping,
+    # but no job may scan the documents table during build
+    assert after == before, "query build ran an eager Spark job"
+
+
 # ------------------------------------------------ fused flagship path
 
 def test_extract_documents_fused_equals_staged_path(spark):
